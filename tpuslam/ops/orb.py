@@ -1,0 +1,204 @@
+"""ORB feature extraction: pyramid FAST + oriented BRIEF, fully batched.
+
+TPU-native replacement for the reference ORBextractor (src/ORBextractor.cc):
+  - 8-level pyramid, scale 1.2 (ComputePyramid, :1152)
+  - per-cell FAST with ini/min thresholds (ComputeKeyPointsOctTree, :763)
+  - quadtree spatial distribution (DistributeOctTree, :537) re-expressed as
+    per-cell top-1 + per-level top-K by response — a static-shape,
+    TPU-shaped equivalent that preserves spatial uniformity
+  - intensity-centroid orientation (IC_Angle, :75)
+  - rBRIEF 256-pair descriptors on the blurred image (computeOrbDescriptor,
+    :106). The reference uses OpenCV's learned pattern; we generate our own
+    deterministic Gaussian pattern (BRIEF-style, sigma = patch/5) since the
+    whole stack is self-consistent — descriptors never have to be
+    bit-compatible with OpenCV.
+
+Output is a fixed-capacity FeatureSet (struct-of-arrays + validity mask).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .image import build_pyramid, gaussian_blur
+from .fast import fast_score, nms3x3, cell_threshold_gate
+
+HALF_PATCH = 15  # IC-angle circular patch radius (ref: ORBextractor.cc:70 PATCH_SIZE 31)
+DESC_R = 18      # descriptor patch radius: 13*sqrt(2) ~ 18.4 rounded in
+PAD = DESC_R + 1
+
+
+def _make_pattern(seed: int = 42, n_bits: int = 256, sigma: float = 6.2):
+    """Deterministic BRIEF pattern: [n_bits, 2, 2] int32 (pairs of (dx,dy)),
+    Gaussian-distributed, clipped to radius 13 so any rotation stays within
+    the DESC_R patch."""
+    rs = np.random.RandomState(seed)
+    pts = np.clip(np.round(rs.randn(n_bits, 2, 2) * sigma), -13, 13).astype(np.int32)
+    return pts
+
+
+PATTERN = _make_pattern()
+
+# circular mask and coordinate grids for IC angle
+_yy, _xx = np.mgrid[-HALF_PATCH : HALF_PATCH + 1, -HALF_PATCH : HALF_PATCH + 1]
+_CIRC_MASK = (_xx ** 2 + _yy ** 2 <= HALF_PATCH ** 2).astype(np.float32)
+_IC_X = (_xx * _CIRC_MASK).astype(np.float32)
+_IC_Y = (_yy * _CIRC_MASK).astype(np.float32)
+
+
+@dataclasses.dataclass
+class OrbConfig:
+    n_features: int = 1000
+    n_levels: int = 8
+    scale: float = 1.2
+    ini_th: float = 20.0
+    min_th: float = 7.0
+    cell: int = 16          # selection cell (px)
+    th_cell: int = 32       # ini/min threshold cell (ref uses 30px windows)
+
+    def level_budgets(self):
+        f = 1.0 / self.scale
+        w = np.array([f ** l for l in range(self.n_levels)])
+        n = np.floor(self.n_features * w / w.sum()).astype(int)
+        n[-1] += self.n_features - n.sum()
+        return [int(v) for v in n]
+
+    def level_scales(self):
+        return [self.scale ** l for l in range(self.n_levels)]
+
+
+def _select_level_keypoints(score, budget: int, cell: int):
+    """Per-cell top-1 then top-`budget` by response. Returns (xy[K,2] i32,
+    resp[K]) with resp==0 marking invalid slots."""
+    h, w = score.shape
+    ph, pw = (-h) % cell, (-w) % cell
+    sp = jnp.pad(score, ((0, ph), (0, pw)))
+    hc, wc = (h + ph) // cell, (w + pw) // cell
+    cells = sp.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(hc * wc, cell * cell)
+    cmax = cells.max(axis=1)
+    carg = cells.argmax(axis=1).astype(jnp.int32)
+    cy = carg // cell + (jnp.arange(hc * wc, dtype=jnp.int32) // wc) * cell
+    cx = carg % cell + (jnp.arange(hc * wc, dtype=jnp.int32) % wc) * cell
+    k = min(budget, hc * wc)
+    top, idx = jax.lax.top_k(cmax, k)
+    xy = jnp.stack([cx[idx], cy[idx]], axis=-1)
+    resp = jnp.where(top > 0, top, 0.0)
+    if k < budget:  # pad to the static budget
+        xy = jnp.pad(xy, ((0, budget - k), (0, 0)))
+        resp = jnp.pad(resp, (0, budget - k))
+    return xy, resp
+
+
+def _ic_angles(img_padded, xy):
+    """Intensity-centroid angle (rad) for keypoints xy [K,2] (level coords).
+    img_padded has PAD on each side."""
+    icx = jnp.asarray(_IC_X)
+    icy = jnp.asarray(_IC_Y)
+
+    def one(p):
+        patch = jax.lax.dynamic_slice(
+            img_padded,
+            (p[1] + PAD - HALF_PATCH, p[0] + PAD - HALF_PATCH),
+            (2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1),
+        )
+        m10 = jnp.sum(patch * icx)
+        m01 = jnp.sum(patch * icy)
+        return jnp.arctan2(m01, m10)
+
+    return jax.vmap(one)(xy)
+
+
+def _descriptors(blur_padded, xy, angles):
+    """rBRIEF bits [K,256] uint8 from the blurred, padded level image."""
+    pat = jnp.asarray(PATTERN, jnp.float32)  # [256,2,2] (pairs, (dx,dy))
+    side = 2 * DESC_R + 1
+
+    def one(p, ang):
+        patch = jax.lax.dynamic_slice(
+            blur_padded,
+            (p[1] + PAD - DESC_R, p[0] + PAD - DESC_R),
+            (side, side),
+        ).reshape(-1)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        # rotate pattern (steered BRIEF, ref computeOrbDescriptor:106)
+        rx = jnp.round(pat[..., 0] * c - pat[..., 1] * s).astype(jnp.int32)
+        ry = jnp.round(pat[..., 0] * s + pat[..., 1] * c).astype(jnp.int32)
+        flat = (ry + DESC_R) * side + (rx + DESC_R)  # [256,2]
+        v = jnp.take(patch, flat.reshape(-1)).reshape(256, 2)
+        return (v[:, 0] < v[:, 1]).astype(jnp.uint8)
+
+    return jax.vmap(one)(xy, angles)
+
+
+def pack_bits(bits):
+    """[...,256] {0,1} -> [...,8] uint32 (little-endian within each word)."""
+    b = bits.astype(jnp.uint32).reshape(bits.shape[:-1] + (8, 32))
+    pows = jnp.asarray((1 << np.arange(32, dtype=np.uint64)).astype(np.uint32))
+    return jnp.sum(b * pows, axis=-1, dtype=jnp.uint32)
+
+
+def _extract_impl(img, cfg: OrbConfig, ini_th: float, min_th: float):
+    levels = build_pyramid(img.astype(jnp.float32), cfg.n_levels, cfg.scale)
+    budgets = cfg.level_budgets()
+    scales = cfg.level_scales()
+    out = {"xy": [], "resp": [], "angle": [], "octave": [], "bits": [], "size": []}
+    for l, (im, budget, sc) in enumerate(zip(levels, budgets, scales)):
+        score = fast_score(im)
+        score = cell_threshold_gate(score, ini_th, min_th, cell=cfg.th_cell)
+        score = nms3x3(score)
+        # keep keypoints whose descriptor patch fits: margin EDGE=16 like the
+        # reference EDGE_THRESHOLD=19 minus the 3px FAST border already gone
+        h, w = im.shape
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        margin = HALF_PATCH + 1
+        ok = (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
+        score = jnp.where(ok, score, 0.0)
+        xy, resp = _select_level_keypoints(score, budget, cfg.cell)
+        pad_im = jnp.pad(im, PAD, mode="edge")
+        ang = _ic_angles(pad_im, xy)
+        blur = gaussian_blur(im)
+        pad_blur = jnp.pad(blur, PAD, mode="edge")
+        bits = _descriptors(pad_blur, xy, ang)
+        out["xy"].append(xy.astype(jnp.float32) * sc)
+        out["resp"].append(resp)
+        out["angle"].append(ang)
+        out["octave"].append(jnp.full((budget,), l, jnp.int32))
+        out["bits"].append(bits)
+        out["size"].append(jnp.full((budget,), 31.0 * sc, jnp.float32))
+    res = {k: jnp.concatenate(v, axis=0) for k, v in out.items()}
+    res["valid"] = res["resp"] > 0
+    res["packed"] = pack_bits(res["bits"])
+    return res
+
+
+class OrbExtractor:
+    """Builds a jit'd extractor for a fixed image size + config.
+
+    extract(img) -> dict:
+      xy [N,2] f32 level-0 pixel coords; resp [N]; angle [N] rad;
+      octave [N] i32; size [N]; valid [N] bool; bits [N,256] u8;
+      packed [N,8] u32.   N == cfg.n_features.
+    """
+
+    def __init__(self, height: int, width: int, cfg: OrbConfig | None = None):
+        self.cfg = cfg or OrbConfig()
+        self.height, self.width = height, width
+        self._fn = jax.jit(
+            functools.partial(_extract_impl, cfg=self.cfg),
+            static_argnames=(),
+        )
+
+    def __call__(self, img, ini_th=None, min_th=None) -> dict[str, Any]:
+        assert img.shape == (self.height, self.width)
+        return self._fn(
+            img,
+            ini_th=float(ini_th if ini_th is not None else self.cfg.ini_th),
+            min_th=float(min_th if min_th is not None else self.cfg.min_th),
+        )
