@@ -1,0 +1,241 @@
+"""Bundle adjustment: batched Gauss-Newton/LM with blocked Schur complement.
+
+This is the g2o replacement (ref: Thirdparty/g2o core/block_solver.h — the
+BlockSolver_6_3 with Eigen sparse Cholesky used by
+Optimizer::BundleAdjustment (src/Optimizer.cc:62), LocalBundleAdjustment
+(:1699) and GlobalBundleAdjustemnt (:54)).
+
+TPU-shaped design:
+  * observations as flat arrays (kf idx, pt idx, measurement), residuals and
+    Jacobians batched — no graph objects;
+  * Hpp/Hll/W blocks by segment_sum over observations;
+  * landmark marginalization = batched 3x3 inverses;
+  * the pose-pose coupling  W Hll^-1 W^T  is assembled from OBSERVATION
+    PAIRS sharing a landmark (host-precomputed index lists; padded/bucketed
+    CSR — SURVEY.md §7 'hard parts'), scattered into a dense [6K,6K]
+    reduced camera system solved with Cholesky;
+  * LM damping with accept/reject, Huber IRLS weights;
+  * fixed poses (local-BA frontier, gauge) via row/col masking.
+
+All device math is dtype-generic (f32 on TPU, f64 under tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight, huber_cost
+from .reproj import project_residuals
+
+
+def build_obs_pairs(obs_pt: np.ndarray, n_points: int):
+    """Host-side: all ordered pairs of observation indices sharing a point.
+
+    Returns (pair_a [Q], pair_b [Q]) int32. Q = sum_j deg_j^2. Vectorized
+    per-degree-bucket (no Python loop over points).
+    """
+    obs_pt = np.asarray(obs_pt)
+    order = np.argsort(obs_pt, kind="stable")
+    sorted_pt = obs_pt[order]
+    # group boundaries
+    uniq, starts, counts = np.unique(sorted_pt, return_index=True, return_counts=True)
+    pair_a = []
+    pair_b = []
+    for d in np.unique(counts):
+        sel = counts == d
+        s = starts[sel]  # [G] group starts of degree d
+        block = order[(s[:, None] + np.arange(d)[None, :])]  # [G, d]
+        a = np.repeat(block, d, axis=1)  # [G, d*d]
+        b = np.tile(block, (1, d))
+        pair_a.append(a.ravel())
+        pair_b.append(b.ravel())
+    if not pair_a:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    return (
+        np.concatenate(pair_a).astype(np.int32),
+        np.concatenate(pair_b).astype(np.int32),
+    )
+
+
+@dataclass
+class BAData:
+    """Device-side BA problem (all jnp arrays, static shapes)."""
+
+    R: jnp.ndarray          # [K,3,3] Tcw rotations
+    t: jnp.ndarray          # [K,3]
+    X: jnp.ndarray          # [P,3]
+    obs_kf: jnp.ndarray     # [O] int32
+    obs_pt: jnp.ndarray     # [O] int32
+    uvr: jnp.ndarray        # [O,3]
+    inv_sigma2: jnp.ndarray # [O]
+    stereo: jnp.ndarray     # [O] bool
+    valid: jnp.ndarray      # [O] bool
+    fixed: jnp.ndarray      # [K] bool
+    pair_a: jnp.ndarray     # [Q] int32 obs indices
+    pair_b: jnp.ndarray     # [Q] int32
+
+
+def _inv3x3(A):
+    """Batched closed-form 3x3 inverse (adjugate)."""
+    a = A
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c10, c20], -1),
+            jnp.stack([c01, c11, c21], -1),
+            jnp.stack([c02, c12, c22], -1),
+        ],
+        -2,
+    )
+    return adj / det[..., None, None]
+
+
+def _residuals_weights(d: BAData, fx, fy, cx, cy, bf, robust: bool):
+    Rk = d.R[d.obs_kf]
+    tk = d.t[d.obs_kf]
+    Xo = d.X[d.obs_pt]
+    r, Jp, Jl, z = project_residuals(Rk, tk, Xo, d.uvr, d.stereo, fx, fy, cx, cy, bf)
+    chi2 = jnp.sum(r * r, -1) * d.inv_sigma2
+    chi2_th = jnp.where(d.stereo, CHI2_STEREO, CHI2_MONO).astype(r.dtype)
+    w_rob = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
+    w = w_rob * d.inv_sigma2 * d.valid.astype(r.dtype) * (z > 0).astype(r.dtype)
+    cost = jnp.sum(
+        jnp.where(
+            d.valid & (z > 0),
+            huber_cost(chi2, chi2_th) if robust else chi2,
+            0.0,
+        )
+    )
+    return r, Jp, Jl, w, cost, chi2, z
+
+
+def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool):
+    """One damped GN step. Returns (R_new, t_new, X_new, cost_before)."""
+    K = d.R.shape[0]
+    P = d.X.shape[0]
+    dtype = d.X.dtype
+    r, Jp, Jl, w, cost, _, _ = _residuals_weights(d, fx, fy, cx, cy, bf, robust)
+
+    Jp_w = Jp * w[:, None, None]
+    # block accumulations
+    Hpp = jnp.zeros((K, 6, 6), dtype).at[d.obs_kf].add(
+        jnp.einsum("oij,oik->ojk", Jp_w, Jp)
+    )
+    bp = jnp.zeros((K, 6), dtype).at[d.obs_kf].add(-jnp.einsum("oij,oi->oj", Jp_w, r))
+    Jl_w = Jl * w[:, None, None]
+    Hll = jnp.zeros((P, 3, 3), dtype).at[d.obs_pt].add(
+        jnp.einsum("oij,oik->ojk", Jl_w, Jl)
+    )
+    bl = jnp.zeros((P, 3), dtype).at[d.obs_pt].add(-jnp.einsum("oij,oi->oj", Jl_w, r))
+    Wo = jnp.einsum("oij,oik->ojk", Jp_w, Jl)  # [O,6,3]
+
+    # LM damping (multiplicative on block diagonals, g2o-style)
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hpp_d = Hpp + lam * (eye6 * jnp.diagonal(Hpp, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye6
+    Hll_d = Hll + lam * (eye3 * jnp.diagonal(Hll, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye3
+
+    Hll_inv = _inv3x3(Hll_d)
+    Ao = Wo @ Hll_inv[d.obs_pt]  # [O,6,3]
+
+    # reduced camera system S = Hpp - sum_pairs A_{o1} W_{o2}^T
+    S = jnp.zeros((K * K, 6, 6), dtype)
+    Mq = Ao[d.pair_a] @ jnp.swapaxes(Wo[d.pair_b], -1, -2)  # [Q,6,6]
+    blk = d.obs_kf[d.pair_a] * K + d.obs_kf[d.pair_b]
+    S = S.at[blk].add(-Mq)
+    S = S.at[jnp.arange(K) * K + jnp.arange(K)].add(Hpp_d)
+    S = S.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+
+    b_red = bp - jnp.zeros((K, 6), dtype).at[d.obs_kf].add(
+        jnp.einsum("oij,oj->oi", Ao, bl[d.obs_pt])
+    )
+    b_red = b_red.reshape(K * 6)
+
+    # fixed poses: identity rows/cols
+    free = ~d.fixed
+    free6 = jnp.repeat(free, 6)
+    mask2d = free6[:, None] & free6[None, :]
+    S = jnp.where(mask2d, S, 0.0)
+    S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+    b_red = jnp.where(free6, b_red, 0.0)
+
+    dx_pose = jnp.linalg.solve(S, b_red).reshape(K, 6)
+
+    # back-substitution for landmarks
+    WtDx = jnp.zeros((P, 3), dtype).at[d.obs_pt].add(
+        jnp.einsum("oij,oi->oj", Wo, dx_pose[d.obs_kf])
+    )
+    dx_pt = jnp.einsum("pij,pj->pi", Hll_inv, bl - WtDx)
+
+    dR, dt = lie.se3_exp(dx_pose)
+    R_new = dR @ d.R
+    t_new = jnp.einsum("kij,kj->ki", dR, d.t) + dt
+    # fixed poses unchanged (masking already zeroes dx, but be exact)
+    R_new = jnp.where(d.fixed[:, None, None], d.R, R_new)
+    t_new = jnp.where(d.fixed[:, None], d.t, t_new)
+    X_new = d.X + dx_pt
+    return R_new, t_new, X_new, cost
+
+
+def _cost_only(d: BAData, fx, fy, cx, cy, bf, robust: bool):
+    return _residuals_weights(d, fx, fy, cx, cy, bf, robust)[4]
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "robust"))
+def ba_solve(
+    R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid, fixed,
+    pair_a, pair_b, fx, fy, cx, cy, bf,
+    n_iters: int = 10, robust: bool = True, lam0: float = 1e-4,
+):
+    """LM loop with accept/reject. Returns (R, t, X, final_cost)."""
+
+    def step(carry, _):
+        R, t, X, lam, cost_prev = carry
+        d = BAData(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
+                   fixed, pair_a, pair_b)
+        R2, t2, X2, _ = _gn_step(d, lam, fx, fy, cx, cy, bf, robust)
+        d2 = BAData(R2, t2, X2, obs_kf, obs_pt, uvr, inv_sigma2, stereo,
+                    valid, fixed, pair_a, pair_b)
+        cost_new = _cost_only(d2, fx, fy, cx, cy, bf, robust)
+        accept = cost_new < cost_prev
+        R = jnp.where(accept, R2, R)
+        t = jnp.where(accept, t2, t)
+        X = jnp.where(accept, X2, X)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        cost = jnp.where(accept, cost_new, cost_prev)
+        return (R, t, X, lam, cost), cost
+
+    d0 = BAData(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
+                fixed, pair_a, pair_b)
+    cost0 = _cost_only(d0, fx, fy, cx, cy, bf, robust)
+    lam0_arr = jnp.asarray(lam0, X.dtype)
+    (R, t, X, _, cost), _ = jax.lax.scan(
+        step, (R, t, X, lam0_arr, cost0), None, length=n_iters
+    )
+    return R, t, X, cost
+
+
+def ba_chi2(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, fx, fy, cx, cy, bf):
+    """Per-observation chi2 + positive-depth flags (for outlier pruning
+    between BA phases, ref Optimizer.cc:2064-2120)."""
+    Rk = R[obs_kf]
+    tk = t[obs_kf]
+    r, _, _, z = project_residuals(Rk, tk, X[obs_pt], uvr, stereo, fx, fy, cx, cy, bf)
+    return jnp.sum(r * r, -1) * inv_sigma2, z > 0
