@@ -1,0 +1,349 @@
+"""Local mapping: triangulation, fusion, local BA, culling.
+
+Replaces the reference LocalMapping thread (src/LocalMapping.cc): in this
+engine the mapper runs synchronously per keyframe from the tracker (the
+async/sharded execution lives in parallel/ — versioned snapshots replace
+mMutexMapUpdate).
+
+Pipeline per new KF (ref: LocalMapping::Run :67-276):
+  ProcessNewKeyFrame -> MapPointCulling (:341) -> CreateNewMapPoints (:383)
+  -> SearchInNeighbors fuse (:729) -> local BA (Optimizer.cc:1699)
+  -> KeyFrameCulling (:935).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import lie
+from ..map.store import SlamMap
+from ..ops import match as M
+from ..ops.twoview import triangulate_batch
+from ..solve import ba as B
+from .config import SlamConfig
+
+
+class LocalMapper:
+    def __init__(self, camera, cfg: SlamConfig, slam_map: SlamMap):
+        self.camera = camera
+        self.cfg = cfg
+        self.map = slam_map
+        self.recent_points: list[tuple[int, int]] = []  # (mp, created_at_kf)
+        self.sf = slam_map.scale_factors
+        self.inv_sigma2 = 1.0 / self.sf ** 2
+
+    # ------------------------------------------------------------------ main
+    def on_new_keyframe(self, kf: int):
+        m = self.map
+        # ProcessNewKeyFrame: refresh stats of points seen by this KF
+        for j in np.unique(m.kf_mp[kf]):
+            if j >= 0:
+                m.update_point_stats(int(j))
+        m.update_connections(kf)
+        self._cull_recent_points(kf)
+        if m.n_kf >= 2:
+            created = self._create_new_points(kf)
+            self._fuse_neighbors(kf)
+            self._local_ba(kf)
+            self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------- culling
+    def _cull_recent_points(self, kf: int):
+        """ref: MapPointCulling (LocalMapping.cc:341)."""
+        m = self.map
+        keep = []
+        for mp, born in self.recent_points:
+            if not m.mp_valid[mp]:
+                continue
+            age = kf - born
+            ratio = m.mp_found[mp] / max(m.mp_visible[mp], 1)
+            if ratio < self.cfg.mapping.recent_cull_found_ratio:
+                m.set_bad_point(mp)
+            elif age >= 2 and len(m.mp_obs[mp]) <= 2:
+                m.set_bad_point(mp)
+            elif age >= 3:
+                pass  # graduates
+            else:
+                keep.append((mp, born))
+        self.recent_points = keep
+
+    def _cull_keyframes(self, kf: int):
+        """ref: KeyFrameCulling (LocalMapping.cc:935) — a local KF is
+        redundant if >=90% of its points are seen by >=3 other KFs at the
+        same or finer scale."""
+        m = self.map
+        for cand in m.best_covisible(kf):
+            if cand == 0 or not m.kf_valid[cand]:
+                continue
+            slots = np.nonzero(m.kf_mp[cand] >= 0)[0]
+            if len(slots) == 0:
+                continue
+            n_red = 0
+            for slot in slots:
+                mp = int(m.kf_mp[cand, slot])
+                lvl = m.kf_feats[cand].octave[slot]
+                n_obs = 0
+                for okf, oslot in m.mp_obs[mp].items():
+                    if okf == cand:
+                        continue
+                    if m.kf_feats[okf].octave[oslot] <= lvl + 1:
+                        n_obs += 1
+                        if n_obs >= 3:
+                            break
+                if n_obs >= 3:
+                    n_red += 1
+            if n_red > self.cfg.mapping.culling_redundancy * len(slots):
+                self._erase_keyframe(cand)
+
+    def _erase_keyframe(self, cand: int):
+        m = self.map
+        for slot in np.nonzero(m.kf_mp[cand] >= 0)[0]:
+            m.erase_observation(int(m.kf_mp[cand, slot]), cand)
+        for o in list(m.covis[cand]):
+            m.covis[o].pop(cand, None)
+        m.covis[cand] = {}
+        m.kf_valid[cand] = False
+        # reparent children (spanning tree)
+        for c in np.nonzero(m.kf_parent[: m.n_kf] == cand)[0]:
+            m.kf_parent[c] = m.kf_parent[cand]
+
+    # -------------------------------------------------------- triangulation
+    def _create_new_points(self, kf: int):
+        """ref: CreateNewMapPoints (LocalMapping.cc:383)."""
+        m = self.map
+        cfg = self.cfg.mapping
+        cam = self.camera
+        neighbors = m.best_covisible(kf, cfg.n_triangulate_neighbors)
+        R1, t1 = m.kf_R[kf], m.kf_t[kf]
+        O1 = m.kf_center(kf)
+        f1 = m.kf_feats[kf]
+        free1 = (m.kf_mp[kf] < 0) & f1.valid
+        n_created = 0
+        for kn in neighbors:
+            R2, t2 = m.kf_R[kn], m.kf_t[kn]
+            O2 = m.kf_center(kn)
+            baseline = np.linalg.norm(O2 - O1)
+            med_depth = self._median_depth(kn)
+            if med_depth <= 0 or baseline / med_depth < cfg.min_baseline_depth_ratio:
+                continue
+            f2 = m.kf_feats[kn]
+            free2 = (m.kf_mp[kn] < 0) & f2.valid
+            # fundamental matrix F12 from relative pose (normalized coords ->
+            # essential; in pixels via K): ref ComputeF12 (LocalMapping.cc)
+            R12 = R1 @ R2.T
+            t12 = -R12 @ t2 + t1
+            E12 = np.asarray(lie.hat(jnp.asarray(t12))) @ R12
+            Kinv = np.linalg.inv(cam.K().astype(np.float64))
+            F12 = Kinv.T @ E12 @ Kinv
+            # epipolar lines for kf features in kn image: l2 = F12^T x1
+            x1h = np.concatenate([f1.und_xy, np.ones((f1.n, 1))], 1)
+            lines = x1h @ F12  # [N,3] lines in image 2
+            emask = M.epipolar_mask_np(
+                f2.und_xy, lines, f2.octave, self.sf ** 2
+            )
+            mask = emask & free1[:, None] & free2[None, :]
+            midx, _ = M.match_padded(
+                f1.bits, f2.bits, mask,
+                max_dist=M.TH_LOW, nn_ratio=self.cfg.tracking.nn_ratio_triangulate,
+                ang_a=f1.angle, ang_b=f2.angle,
+            )
+            i1 = np.nonzero(midx >= 0)[0]
+            if len(i1) == 0:
+                continue
+            i2 = midx[i1]
+            X = np.asarray(
+                triangulate_batch(
+                    jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2),
+                    jnp.asarray(t2), jnp.asarray(f1.norm_xy[i1]),
+                    jnp.asarray(f2.norm_xy[i2]),
+                )
+            )
+            # gates (ref LocalMapping.cc:470-720): parallax, cheirality,
+            # reprojection chi2, scale consistency
+            r1 = X - O1[None]
+            r2 = X - O2[None]
+            d1 = np.linalg.norm(r1, axis=1)
+            d2 = np.linalg.norm(r2, axis=1)
+            cosp = np.sum(r1 * r2, 1) / np.maximum(d1 * d2, 1e-12)
+            Xc1 = X @ R1.T + t1
+            Xc2 = X @ R2.T + t2
+            uv1 = np.asarray(cam.project(jnp.asarray(Xc1)))
+            uv2 = np.asarray(cam.project(jnp.asarray(Xc2)))
+            e1 = ((uv1 - f1.und_xy[i1]) ** 2).sum(1) / self.sf[f1.octave[i1]] ** 2
+            e2 = ((uv2 - f2.und_xy[i2]) ** 2).sum(1) / self.sf[f2.octave[i2]] ** 2
+            ratio_d = d1 / np.maximum(d2, 1e-9)
+            ratio_oct = (
+                self.sf[f1.octave[i1]] / self.sf[f2.octave[i2]]
+            )
+            ok = (
+                (cosp < 0.9998)
+                & (Xc1[:, 2] > 0)
+                & (Xc2[:, 2] > 0)
+                & (e1 < 5.991)
+                & (e2 < 5.991)
+                & (ratio_d < ratio_oct * 1.5 * self.sf[1])
+                & (ratio_d * 1.5 * self.sf[1] > ratio_oct)
+            )
+            for a, b in zip(i1[ok], i2[ok]):
+                if m.kf_mp[kf, a] >= 0 or m.kf_mp[kn, b] >= 0:
+                    continue
+                mp = m.add_point(X[np.nonzero(i1 == a)[0][0]], kf, int(a))
+                m.add_observation(mp, kn, int(b))
+                m.update_point_stats(mp)
+                self.recent_points.append((mp, kf))
+                n_created += 1
+            free1 = (m.kf_mp[kf] < 0) & f1.valid
+        m.update_connections(kf)
+        return n_created
+
+    def _median_depth(self, kf: int):
+        m = self.map
+        ids = m.kf_mp[kf][m.kf_mp[kf] >= 0]
+        if len(ids) == 0:
+            return -1.0
+        Xc = m.mp_pos[ids] @ m.kf_R[kf].T + m.kf_t[kf]
+        return float(np.median(Xc[:, 2]))
+
+    # ---------------------------------------------------------------- fusion
+    def _fuse_neighbors(self, kf: int):
+        """ref: SearchInNeighbors (LocalMapping.cc:729) + ORBmatcher::Fuse."""
+        m = self.map
+        targets = m.best_covisible(kf, 10)
+        second = set()
+        for kn in targets:
+            for o in m.best_covisible(kn, 5):
+                if o != kf and o not in targets:
+                    second.add(o)
+        targets = list(targets) + list(second)
+        own = np.unique(m.kf_mp[kf])
+        own = own[own >= 0]
+        for kn in targets:
+            self._fuse_into(kn, own)
+        # reverse: fuse neighbor points into kf
+        nbr_pts = np.unique(m.kf_mp[targets]) if targets else np.zeros(0, int)
+        nbr_pts = nbr_pts[nbr_pts >= 0]
+        self._fuse_into(kf, nbr_pts)
+        for j in np.unique(m.kf_mp[kf]):
+            if j >= 0:
+                m.update_point_stats(int(j))
+        m.update_connections(kf)
+
+    def _fuse_into(self, kf: int, mp_ids):
+        """Project mp_ids into kf; merge with existing or claim free slots."""
+        m = self.map
+        cam = self.camera
+        mp_ids = np.array([j for j in mp_ids if m.mp_valid[j]], np.int32)
+        if len(mp_ids) == 0:
+            return
+        R, t = m.kf_R[kf], m.kf_t[kf]
+        X = m.mp_pos[mp_ids]
+        Xc = X @ R.T + t
+        uv = np.asarray(cam.project(jnp.asarray(Xc)))
+        Ow = m.kf_center(kf)
+        dist = np.linalg.norm(X - Ow[None], axis=1)
+        cosv = np.sum((X - Ow[None]) * m.mp_normal[mp_ids], 1) / np.maximum(dist, 1e-9)
+        ok = (
+            (Xc[:, 2] > 0)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+            & (dist >= 0.8 * m.mp_min_dist[mp_ids])
+            & (dist <= 1.2 * m.mp_max_dist[mp_ids])
+            & (cosv > 0.5)
+        )
+        mp_ids = mp_ids[ok]
+        if len(mp_ids) == 0:
+            return
+        uv = uv[ok]
+        pred = m.predict_scale(dist[ok], mp_ids)
+        f = m.kf_feats[kf]
+        mask = (
+            M.window_mask_np(uv, f.xy, self.cfg.mapping.fuse_radius * self.sf[pred])
+            & f.valid[None, :]
+            & M.level_mask_np(pred, f.octave, 1, 1)
+        )
+        midx, _ = M.match_padded(
+            m.mp_bits[mp_ids], f.bits, mask, max_dist=M.TH_LOW,
+        )
+        for a in np.nonzero(midx >= 0)[0]:
+            mp = int(mp_ids[a])
+            slot = int(midx[a])
+            existing = int(m.kf_mp[kf, slot])
+            if existing >= 0:
+                if existing != mp and m.mp_valid[existing]:
+                    # keep the one with more observations (ref: Fuse)
+                    if len(m.mp_obs[existing]) > len(m.mp_obs[mp]):
+                        m.replace_point(mp, existing)
+                    else:
+                        m.replace_point(existing, mp)
+            else:
+                m.add_observation(mp, kf, slot)
+
+    # ---------------------------------------------------------------- localBA
+    def _local_ba(self, kf: int):
+        """ref: Optimizer::LocalBundleAdjustment (Optimizer.cc:1699):
+        window = covisible KFs of kf; points they see; fixed frontier =
+        other KFs observing those points; 5+10 LM schedule with chi2 pruning."""
+        m = self.map
+        cam = self.camera
+        window = [kf] + m.best_covisible(kf)
+        wset = set(window)
+        pts = np.unique(m.kf_mp[window])
+        pts = pts[pts >= 0]
+        pts = pts[m.mp_valid[pts]]
+        if len(pts) < 10 or len(window) < 2:
+            return
+        frontier = set()
+        for j in pts:
+            for okf in m.mp_obs[int(j)]:
+                if okf not in wset:
+                    frontier.add(okf)
+        kf_list = window + sorted(frontier)
+        kf_index = {k: i for i, k in enumerate(kf_list)}
+        fixed = np.zeros(len(kf_list), bool)
+        fixed[len(window):] = True
+        if len(frontier) == 0:
+            fixed[kf_index[window[-1]]] = True  # gauge: oldest window KF
+            if len(window) > 2:
+                fixed[kf_index[window[-2]]] = True
+        pt_index = {int(j): i for i, j in enumerate(pts)}
+        obs_kf, obs_pt, uvr, inv_s2, obs_ref = [], [], [], [], []
+        for j in pts:
+            for okf, slot in m.mp_obs[int(j)].items():
+                f = m.kf_feats[okf]
+                obs_kf.append(kf_index[okf])
+                obs_pt.append(pt_index[int(j)])
+                uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1], 0.0])
+                inv_s2.append(self.inv_sigma2[f.octave[slot]])
+                obs_ref.append((int(j), okf))
+        obs_kf = np.array(obs_kf, np.int32)
+        obs_pt = np.array(obs_pt, np.int32)
+        uvr = np.array(uvr)
+        inv_s2 = np.array(inv_s2)
+        stereo = np.zeros(len(obs_kf), bool)
+        # phase 1 (5 it robust), prune, phase 2 (ref :2048,:2121)
+        Rf, tf, Xf, chi2, posz = B.ba_solve_np(
+            m.kf_R[kf_list], m.kf_t[kf_list], m.mp_pos[pts],
+            obs_kf, obs_pt, uvr, inv_s2, stereo, np.ones(len(obs_kf), bool),
+            fixed, cam.fx, cam.fy, cam.cx, cam.cy, 0.0, n_iters=5,
+        )
+        good = (chi2 <= 5.991) & posz
+        Rf, tf, Xf, chi2, posz = B.ba_solve_np(
+            Rf, tf, Xf, obs_kf, obs_pt, uvr, inv_s2, stereo, good,
+            fixed, cam.fx, cam.fy, cam.cx, cam.cy, 0.0,
+            n_iters=self.cfg.mapping.local_ba_iters,
+        )
+        # write back
+        for i in np.nonzero(~fixed)[0]:
+            m.kf_R[kf_list[i]] = Rf[i]
+            m.kf_t[kf_list[i]] = tf[i]
+        m.mp_pos[pts] = Xf
+        # erase observations that remain outliers (ref :2259-2290)
+        bad = (chi2 > 5.991) | ~posz
+        for o in np.nonzero(bad)[0]:
+            j, okf = obs_ref[o]
+            if m.mp_valid[j]:
+                m.erase_observation(j, okf)
+        for j in pts:
+            if m.mp_valid[int(j)]:
+                m.update_point_stats(int(j))

@@ -1,0 +1,460 @@
+"""Tracking engine: the per-frame front end state machine.
+
+Replaces the reference Tracking (src/Tracking.cc:829 Track() and friends):
+  - monocular initialization via two-view reconstruction (:1460, :1550)
+  - motion-model / reference-KF tracking (:1879, :1750)
+  - local-map tracking (:1974) with frustum culling (:2358)
+  - keyframe decision (:2089) and creation (:2228)
+  - RECENTLY_LOST / LOST handling and state machine (Tracking.h:101-109)
+
+Host orchestration + a handful of batched device dispatches per frame
+(extract, hamming-match, pose-GN).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..map.store import SlamMap, FrameFeatures
+from ..ops import match as M
+from ..ops import twoview as TV
+from ..solve import ba as B
+from ..solve.pose_opt import pose_optimize
+from .config import SlamConfig
+from .frontend import Frontend
+
+
+class State(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    RECENTLY_LOST = 3
+    LOST = 4
+
+
+@dataclass
+class Frame:
+    feats: FrameFeatures
+    time: float
+    frame_id: int
+    R: np.ndarray | None = None  # Tcw
+    t: np.ndarray | None = None
+    mp: np.ndarray | None = None  # [N] mp id per feature (-1 none)
+
+    def center(self):
+        return -self.R.T @ self.t
+
+
+class Tracker:
+    def __init__(self, camera, cfg: SlamConfig, slam_map: SlamMap,
+                 local_mapper=None, sensor="mono"):
+        self.camera = camera
+        self.cfg = cfg
+        self.map = slam_map
+        self.frontend = Frontend(camera, cfg.orb)
+        self.local_mapper = local_mapper
+        self.sensor = sensor
+        self.state = State.NO_IMAGES_YET
+        self.velocity = None  # [4x4-equiv (R, t)] of Tcl (cur from last)
+        self.last_frame: Frame | None = None
+        self.init_frame: Frame | None = None
+        self.ref_kf = -1
+        self.frames_since_kf = 0
+        self.frame_id = 0
+        self.trajectory = []  # (time, R, t, ref_kf, lost)
+        self.n_inliers = 0
+        self.sf = self.map.scale_factors
+        self.inv_sigma2 = (1.0 / self.sf ** 2).astype(np.float64)
+
+    # ------------------------------------------------------------------ util
+    def _project(self, R, t, X):
+        Xc = X @ R.T + t
+        uv = np.asarray(self.camera.project(jnp.asarray(Xc)))
+        return uv, Xc[:, 2], Xc
+
+    def _pose_opt(self, R0, t0, frame: Frame, mp_ids):
+        """Run motion-only optimization over the frame's current matches.
+        Shapes are bucketed so the jit program is reused across frames."""
+        from ..utils.pad import bucket, pad_to
+
+        sel = np.nonzero(mp_ids >= 0)[0]
+        n = len(sel)
+        if n < 3:
+            return R0, t0, np.zeros(0, bool), sel
+        nb = bucket(n, 256)
+        X = pad_to(self.map.mp_pos[mp_ids[sel]], nb)
+        und = frame.feats.und_xy[sel]
+        uvr = pad_to(np.concatenate([und, np.zeros((n, 1))], 1), nb)
+        inv_s2 = pad_to(self.inv_sigma2[frame.feats.octave[sel]], nb)
+        valid = np.zeros(nb, bool)
+        valid[:n] = True
+        Rf, tf, inl, chi2 = pose_optimize(
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(X), jnp.asarray(uvr),
+            jnp.asarray(inv_s2), jnp.zeros(nb, bool), jnp.asarray(valid),
+            self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy, 0.0,
+        )
+        return np.asarray(Rf), np.asarray(tf), np.asarray(inl)[:n], sel
+
+    # ------------------------------------------------------------------ main
+    def track(self, img, time: float):
+        feats = self.frontend.process(img)
+        frame = Frame(feats, time, self.frame_id)
+        self.frame_id += 1
+        if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+            self._initialize_mono(frame)
+        else:
+            self._track_frame(frame)
+        # trajectory log
+        if frame.R is not None:
+            self.trajectory.append(
+                (time, frame.R.copy(), frame.t.copy(), self.ref_kf,
+                 self.state != State.OK)
+            )
+        self.last_frame = frame
+        return frame
+
+    # ---------------------------------------------------------------- init
+    def _initialize_mono(self, frame: Frame):
+        cfg = self.cfg.tracking
+        n_feat = frame.feats.n
+        if self.init_frame is None or frame.feats.valid.sum() < cfg.min_matches_init:
+            if frame.feats.valid.sum() >= cfg.min_matches_init:
+                self.init_frame = frame
+                self.state = State.NOT_INITIALIZED
+            return
+        ref = self.init_frame
+        # SearchForInitialization: window 100, level-0 only, ratio 0.9
+        lvl0_a = ref.feats.octave == 0
+        lvl0_b = frame.feats.octave == 0
+        mask = (
+            M.window_mask_np(ref.feats.xy, frame.feats.xy, cfg.init_window)
+            & (ref.feats.valid & lvl0_a)[:, None]
+            & (frame.feats.valid & lvl0_b)[None, :]
+        )
+        midx, _ = M.match_padded(
+            ref.feats.bits, frame.feats.bits, mask,
+            max_dist=M.TH_LOW, nn_ratio=cfg.nn_ratio_init,
+            ang_a=ref.feats.angle, ang_b=frame.feats.angle,
+        )
+        matched = np.nonzero(midx >= 0)[0]
+        if len(matched) < cfg.min_matches_init:
+            self.init_frame = frame  # restart with current as reference
+            return
+        x1 = np.zeros((n_feat, 2))
+        x2 = np.zeros((n_feat, 2))
+        valid = np.zeros(n_feat, bool)
+        x1[matched] = ref.feats.norm_xy[matched]
+        x2[matched] = frame.feats.norm_xy[midx[matched]]
+        valid[matched] = True
+        out = TV.reconstruct_two_views(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
+            jax.random.PRNGKey(0),
+        )
+        if not bool(out["success"]):
+            return
+        good = np.asarray(out["good"])
+        R21 = np.asarray(out["R21"])
+        t21 = np.asarray(out["t21"])
+        X = np.asarray(out["X"])
+        # scale so median depth (in cam1) = 1 (ref: CreateInitialMapMonocular
+        # :1607 invMedianDepth)
+        med = np.median(X[good][:, 2])
+        X = X / med
+        t21 = t21 / med
+        # build map: KF0 identity, KF1 (R21, t21)
+        m = self.map
+        kf0 = m.add_keyframe(np.eye(3), np.zeros(3), ref.feats, ref.time,
+                             ref.frame_id)
+        kf1 = m.add_keyframe(R21, t21, frame.feats, frame.time, frame.frame_id)
+        frame.mp = np.full(n_feat, -1, np.int32)
+        for i in np.nonzero(good & valid)[0]:
+            j = midx[i]
+            mp = m.add_point(X[i], kf0, int(i))
+            m.add_observation(mp, kf1, int(j))
+            m.update_point_stats(mp)
+            frame.mp[j] = mp
+        m.update_connections(kf0)
+        m.update_connections(kf1)
+        # full BA on the initial map (ref: GlobalBundleAdjustemnt(20))
+        self._initial_ba(kf0, kf1)
+        frame.R = m.kf_R[kf1].copy()
+        frame.t = m.kf_t[kf1].copy()
+        self.ref_kf = kf1
+        self.velocity = None
+        self.state = State.OK
+        self.frames_since_kf = 0
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf0)
+            self.local_mapper.on_new_keyframe(kf1)
+
+    def _initial_ba(self, kf0, kf1):
+        m = self.map
+        obs_kf, obs_pt, uvr, inv_s2 = [], [], [], []
+        mp_ids = m.valid_mp_ids()
+        remap = {int(j): i for i, j in enumerate(mp_ids)}
+        for j in mp_ids:
+            for kf, slot in m.mp_obs[j].items():
+                obs_kf.append(0 if kf == kf0 else 1)
+                obs_pt.append(remap[int(j)])
+                uvr.append([*m.kf_feats[kf].und_xy[slot], 0.0])
+                inv_s2.append(self.inv_sigma2[m.kf_feats[kf].octave[slot]])
+        if not obs_kf:
+            return
+        n_obs = len(obs_kf)
+        Rf, tf, Xf, _, _ = B.ba_solve_np(
+            np.stack([m.kf_R[kf0], m.kf_R[kf1]]),
+            np.stack([m.kf_t[kf0], m.kf_t[kf1]]),
+            m.mp_pos[mp_ids],
+            np.array(obs_kf, np.int32), np.array(obs_pt, np.int32),
+            np.array(uvr), np.array(inv_s2),
+            np.zeros(n_obs, bool), np.ones(n_obs, bool),
+            np.array([True, False]),
+            self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy, 0.0,
+            n_iters=20,
+        )
+        m.kf_R[kf1] = Rf[1]
+        m.kf_t[kf1] = tf[1]
+        m.mp_pos[mp_ids] = Xf
+        for j in mp_ids:
+            m.update_point_stats(int(j))
+
+    # -------------------------------------------------------------- tracking
+    def _track_frame(self, frame: Frame):
+        cfg = self.cfg.tracking
+        ok = False
+        if self.state == State.OK:
+            if self.velocity is not None:
+                ok = self._track_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_kf(frame)
+        elif self.state == State.RECENTLY_LOST:
+            ok = self._relocalize(frame)
+        if ok:
+            ok = self._track_local_map(frame)
+        if ok:
+            self.state = State.OK
+            # motion model velocity: Tcl = Tcw_cur * Twc_last
+            Rl, tl = lie.se3_inverse(
+                jnp.asarray(self.last_frame.R), jnp.asarray(self.last_frame.t)
+            )
+            Rv, tv = lie.se3_compose(
+                jnp.asarray(frame.R), jnp.asarray(frame.t), Rl, tl
+            )
+            self.velocity = (np.asarray(Rv), np.asarray(tv))
+            self.frames_since_kf += 1
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+        else:
+            if self.state == State.OK:
+                self.state = State.RECENTLY_LOST
+            # keep predicted pose for the trajectory
+            if frame.R is None and self.last_frame.R is not None:
+                frame.R = self.last_frame.R.copy()
+                frame.t = self.last_frame.t.copy()
+            if frame.mp is None:
+                frame.mp = np.full(frame.feats.n, -1, np.int32)
+        return ok
+
+    def _track_motion_model(self, frame: Frame):
+        """ref: TrackWithMotionModel (Tracking.cc:1879) — project last
+        frame's map points with the constant-velocity prediction."""
+        cfg = self.cfg.tracking
+        last = self.last_frame
+        Rv, tv = self.velocity
+        R0 = Rv @ last.R
+        t0 = Rv @ last.t + tv
+        last_mp = np.array(
+            [self.map.resolve_replaced(int(j)) if j >= 0 else -1 for j in last.mp],
+            np.int32,
+        )
+        sel = np.nonzero(last_mp >= 0)[0]
+        if len(sel) < 10:
+            return False
+        mp_ids = last_mp[sel]
+        uv, z, _ = self._project(R0, t0, self.map.mp_pos[mp_ids])
+        radius = (
+            cfg.motion_model_radius * self.sf[last.feats.octave[sel]]
+        )
+        for th_mult in (1.0, 2.0):  # widen once if too few (ref :1928)
+            mask = (
+                M.window_mask_np(uv, frame.feats.xy, radius * th_mult)
+                & (z > 0)[:, None]
+                & frame.feats.valid[None, :]
+                & M.level_mask_np(last.feats.octave[sel], frame.feats.octave, 1, 1)
+            )
+            midx, _ = M.match_padded(
+                last.feats.bits[sel], frame.feats.bits, mask, max_dist=M.TH_HIGH,
+                ang_a=last.feats.angle[sel], ang_b=frame.feats.angle,
+            )
+            if (midx >= 0).sum() >= cfg.min_matches_motion:
+                break
+        if (midx >= 0).sum() < cfg.min_matches_motion:
+            return False
+        frame.mp = np.full(frame.feats.n, -1, np.int32)
+        ok = midx >= 0
+        frame.mp[midx[ok]] = mp_ids[ok]
+        Rf, tf, inl, osel = self._pose_opt(R0, t0, frame, frame.mp)
+        frame.R, frame.t = Rf, tf
+        # drop outlier matches
+        frame.mp[osel[~inl]] = -1
+        self.n_inliers = int(inl.sum())
+        return self.n_inliers >= cfg.min_inliers_motion
+
+    def _track_reference_kf(self, frame: Frame):
+        """ref: TrackReferenceKeyFrame (Tracking.cc:1750) — descriptor match
+        against the reference KF's map-point features."""
+        cfg = self.cfg.tracking
+        m = self.map
+        kf = self.ref_kf
+        if kf < 0:
+            return False
+        kf_mp = m.kf_mp[kf].copy()
+        for i, j in enumerate(kf_mp):
+            if j >= 0:
+                kf_mp[i] = m.resolve_replaced(int(j))
+        sel = np.nonzero(kf_mp >= 0)[0]
+        if len(sel) < 10:
+            return False
+        mask = (
+            m.kf_feats[kf].valid[sel][:, None] & frame.feats.valid[None, :]
+        )
+        midx, _ = M.match_padded(
+            m.kf_feats[kf].bits[sel], frame.feats.bits, mask,
+            max_dist=M.TH_LOW, nn_ratio=cfg.nn_ratio_ref_kf,
+            ang_a=m.kf_feats[kf].angle[sel], ang_b=frame.feats.angle,
+        )
+        if (midx >= 0).sum() < 15:
+            return False
+        frame.mp = np.full(frame.feats.n, -1, np.int32)
+        ok = midx >= 0
+        frame.mp[midx[ok]] = kf_mp[sel[ok]]
+        R0 = self.last_frame.R
+        t0 = self.last_frame.t
+        Rf, tf, inl, osel = self._pose_opt(R0, t0, frame, frame.mp)
+        frame.R, frame.t = Rf, tf
+        frame.mp[osel[~inl]] = -1
+        self.n_inliers = int(inl.sum())
+        return self.n_inliers >= cfg.min_inliers_motion
+
+    def _relocalize(self, frame: Frame):
+        """Simplified relocalization: try the reference KF and its neighbors
+        (full BoW-candidate + MLPnP RANSAC arrives with the vocab module;
+        ref: Tracking.cc:2626)."""
+        if self.ref_kf < 0:
+            self.state = State.LOST
+            return False
+        kfs = [self.ref_kf] + self.map.best_covisible(self.ref_kf, 5)
+        for kf in kfs:
+            self.ref_kf = kf
+            if self._track_reference_kf(frame):
+                return True
+        return False
+
+    # ------------------------------------------------------------- local map
+    def _track_local_map(self, frame: Frame):
+        cfg = self.cfg.tracking
+        m = self.map
+        # K1: KFs observing current map points; pick new ref_kf = max overlap
+        counts: dict[int, int] = {}
+        for j in frame.mp[frame.mp >= 0]:
+            for kf in m.mp_obs[int(j)]:
+                counts[kf] = counts.get(kf, 0) + 1
+        if not counts:
+            return False
+        k1 = sorted(counts, key=counts.get, reverse=True)
+        self.ref_kf = k1[0]
+        local_kfs = list(k1)
+        seen = set(local_kfs)
+        for kf in k1[:10]:  # K2: neighbors (ref caps local window at 80)
+            for o in m.best_covisible(kf, 10):
+                if o not in seen and len(local_kfs) < 80:
+                    seen.add(o)
+                    local_kfs.append(o)
+        # local points
+        cur_set = set(int(j) for j in frame.mp[frame.mp >= 0])
+        ids = np.unique(m.kf_mp[local_kfs])
+        ids = ids[ids >= 0]
+        ids = ids[m.mp_valid[ids]]
+        cand = np.array([j for j in ids if int(j) not in cur_set], np.int32)
+        if len(cand):
+            X = m.mp_pos[cand]
+            uv, z, Xc = self._project(frame.R, frame.t, X)
+            Ow = -frame.R.T @ frame.t
+            vdir = X - Ow[None]
+            dist = np.linalg.norm(vdir, axis=1)
+            cosv = np.sum(vdir * m.mp_normal[cand], 1) / np.maximum(dist, 1e-9)
+            in_img = (
+                (z > 0)
+                & (uv[:, 0] >= 0) & (uv[:, 0] < self.camera.width)
+                & (uv[:, 1] >= 0) & (uv[:, 1] < self.camera.height)
+                & (dist >= 0.8 * m.mp_min_dist[cand])
+                & (dist <= 1.2 * m.mp_max_dist[cand])
+                & (cosv > 0.5)
+            )  # ref: Frame::isInFrustum (:483)
+            m.mp_visible[cand[in_img]] += 1
+            cand = cand[in_img]
+            uv = uv[in_img]
+            dist = dist[in_img]
+            cosv = cosv[in_img]
+        if len(cand):
+            pred = m.predict_scale(dist, cand)
+            radius = np.where(
+                cosv > 0.998, cfg.local_map_radius_tight, cfg.local_map_radius
+            ) * self.sf[pred]
+            free = frame.mp < 0  # only fill unmatched feature slots
+            mask = (
+                M.window_mask_np(uv, frame.feats.xy, radius)
+                & (frame.feats.valid & free)[None, :]
+                & M.level_mask_np(pred, frame.feats.octave, 1, 0)
+            )
+            midx, _ = M.match_padded(
+                m.mp_bits[cand], frame.feats.bits, mask,
+                max_dist=M.TH_HIGH, nn_ratio=cfg.nn_ratio_local,
+            )
+            ok = midx >= 0
+            frame.mp[midx[ok]] = cand[ok]
+        Rf, tf, inl, osel = self._pose_opt(frame.R, frame.t, frame, frame.mp)
+        frame.R, frame.t = Rf, tf
+        inlier_ids = frame.mp[osel[inl]]
+        m.mp_found[inlier_ids] += 1
+        frame.mp[osel[~inl]] = -1
+        self.n_inliers = int(inl.sum())
+        min_req = cfg.min_inliers_local if self.frames_since_kf > 0 else 15
+        return self.n_inliers >= min_req
+
+    # -------------------------------------------------------------- keyframes
+    def _need_new_keyframe(self, frame: Frame):
+        """ref: NeedNewKeyFrame (Tracking.cc:2089) — c1a/c1b + c2."""
+        cfg = self.cfg.tracking
+        m = self.map
+        if self.ref_kf < 0:
+            return False
+        ref_matches = int((m.kf_mp[self.ref_kf] >= 0).sum())
+        c1a = self.frames_since_kf >= cfg.max_frames_between_kf
+        c1b = self.frames_since_kf >= cfg.min_frames_between_kf
+        c2 = (
+            self.n_inliers < ref_matches * cfg.kf_ref_ratio
+            and self.n_inliers > cfg.min_kf_inliers
+        )
+        return (c1a or (c1b and c2)) and self.n_inliers > cfg.min_kf_inliers
+
+    def _create_keyframe(self, frame: Frame):
+        m = self.map
+        kf = m.add_keyframe(
+            frame.R, frame.t, frame.feats, frame.time, frame.frame_id,
+            mp_assign=frame.mp,
+        )
+        m.update_connections(kf)
+        self.ref_kf = kf
+        self.frames_since_kf = 0
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf)
+            # poses may have moved during local BA: refresh frame pose
+            frame.R = m.kf_R[kf].copy()
+            frame.t = m.kf_t[kf].copy()

@@ -1,0 +1,277 @@
+"""Synthetic rendered sequences with exact ground truth.
+
+Since no EuRoC/TUM data ships in this environment, the end-to-end gates run
+on a ray-cast "textured room": the camera flies a smooth C^2 trajectory
+inside a box whose five visible faces carry smooth procedural textures.
+Rendering is exact perspective projection with bilinear texture sampling, so
+the SLAM pipeline sees realistic parallax, occlusion boundaries at plane
+seams, and trackable gradients — with analytically known poses, depths, and
+IMU measurements (accelerometer/gyro from the trajectory's closed-form
+derivatives).
+
+Replaces the reference's dataset drivers for testing purposes
+(ref: src/main.cpp:19-54 CSV loader, Examples/*_euroc.cc loaders).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core import lie
+import jax.numpy as jnp
+
+GRAVITY = 9.81
+
+
+def _smooth_texture(rng, n=512, octaves=4):
+    """Multi-octave value noise in [0,255]."""
+    tex = np.zeros((n, n))
+    for o in range(octaves):
+        k = 8 << o
+        coarse = rng.rand(k, k)
+        # bilinear upsample to n x n
+        yi = np.linspace(0, k - 1, n)
+        xi = np.linspace(0, k - 1, n)
+        y0 = np.clip(yi.astype(int), 0, k - 2)
+        x0 = np.clip(xi.astype(int), 0, k - 2)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        c = (
+            coarse[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+            + coarse[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+            + coarse[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+            + coarse[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+        )
+        tex += c / (1 << o)
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    return (tex * 255.0).astype(np.float32)
+
+
+@dataclasses.dataclass
+class Plane:
+    origin: np.ndarray  # a point on the plane
+    normal: np.ndarray  # unit, pointing into the room
+    u_axis: np.ndarray  # texture axes
+    v_axis: np.ndarray
+    extent_u: float
+    extent_v: float
+    texture: np.ndarray
+
+
+def make_room(rng, size=(10.0, 6.0, 4.0)):
+    """Box interior [0,sx]x[0,sy]x[0,sz]; camera flies inside looking +x."""
+    sx, sy, sz = size
+    planes = []
+
+    def plane(origin, normal, ua, va, eu, ev):
+        planes.append(
+            Plane(
+                np.array(origin, np.float64),
+                np.array(normal, np.float64),
+                np.array(ua, np.float64),
+                np.array(va, np.float64),
+                eu,
+                ev,
+                _smooth_texture(rng),
+            )
+        )
+
+    plane([sx, 0, 0], [-1, 0, 0], [0, 1, 0], [0, 0, 1], sy, sz)  # far wall
+    plane([0, 0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1], sx, sz)    # left wall
+    plane([0, sy, 0], [0, -1, 0], [1, 0, 0], [0, 0, 1], sx, sz)  # right wall
+    plane([0, 0, 0], [0, 0, 1], [1, 0, 0], [0, 1, 0], sx, sy)    # floor
+    plane([0, 0, sz], [0, 0, -1], [1, 0, 0], [0, 1, 0], sx, sy)  # ceiling
+    return planes
+
+
+class Trajectory:
+    """Smooth C^inf trajectory with closed-form derivatives.
+
+    World frame: x forward, y left-ish, z up. Camera frame: z forward
+    (optical axis), x right, y down — R_wc maps camera->world.
+    """
+
+    def __init__(self, kind="forward_arc", speed=0.5, room=(10.0, 6.0, 4.0)):
+        self.kind = kind
+        self.speed = speed
+        self.room = room
+
+    def pos(self, t):
+        t = np.asarray(t, np.float64)
+        sx, sy, sz = self.room
+        x = 1.0 + self.speed * t
+        y = sy / 2 + 0.6 * np.sin(0.4 * t)
+        z = sz / 2 + 0.3 * np.sin(0.3 * t + 1.0)
+        return np.stack([x, y, z], -1)
+
+    def vel(self, t):
+        t = np.asarray(t, np.float64)
+        z = np.zeros_like(t)
+        return np.stack(
+            [self.speed + z, 0.6 * 0.4 * np.cos(0.4 * t), 0.3 * 0.3 * np.cos(0.3 * t + 1.0)],
+            -1,
+        )
+
+    def acc(self, t):
+        t = np.asarray(t, np.float64)
+        z = np.zeros_like(t)
+        return np.stack(
+            [z, -0.6 * 0.16 * np.sin(0.4 * t), -0.3 * 0.09 * np.sin(0.3 * t + 1.0)], -1
+        )
+
+    def yaw_pitch(self, t):
+        t = np.asarray(t, np.float64)
+        yaw = 0.08 * np.sin(0.25 * t)
+        pitch = 0.05 * np.sin(0.2 * t + 0.5)
+        return yaw, pitch
+
+    def yaw_pitch_rates(self, t):
+        t = np.asarray(t, np.float64)
+        dyaw = 0.08 * 0.25 * np.cos(0.25 * t)
+        dpitch = 0.05 * 0.2 * np.cos(0.2 * t + 0.5)
+        return dyaw, dpitch
+
+    def R_wc(self, t):
+        """camera->world. Base orientation: optical axis +x(world), camera
+        x right = -y(world), camera y down = -z(world)."""
+        yaw, pitch = self.yaw_pitch(t)
+        base = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+        # yaw about world z, pitch about world y
+        cz, sz_ = np.cos(yaw), np.sin(yaw)
+        cy, sy_ = np.cos(pitch), np.sin(pitch)
+        Rz = np.array([[cz, -sz_, 0], [sz_, cz, 0], [0, 0, 1]])
+        Ry = np.array([[cy, 0, sy_], [0, 1, 0], [-sy_, 0, cy]])
+        return Rz @ Ry @ base
+
+    def omega_world(self, t):
+        dyaw, dpitch = self.yaw_pitch_rates(t)
+        yaw, _ = self.yaw_pitch(t)
+        # omega = dyaw * ez + dpitch * (Rz ey)
+        ez = np.array([0.0, 0.0, 1.0])
+        ey = np.array([0.0, 1.0, 0.0])
+        cz, sz_ = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[cz, -sz_, 0], [sz_, cz, 0], [0, 0, 1]])
+        return dyaw * ez + dpitch * (Rz @ ey)
+
+    def pose_cw(self, t):
+        """Tcw (world->camera) as (R, t)."""
+        Rwc = self.R_wc(t)
+        p = self.pos(t)
+        Rcw = Rwc.T
+        return Rcw, -Rcw @ p
+
+
+def render(planes, Rcw, tcw, height, width, fx, fy, cx, cy):
+    """Exact perspective ray-cast of the textured room -> [H,W] f32 image."""
+    ys, xs = np.mgrid[0:height, 0:width]
+    rays_c = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], -1
+    )
+    Rwc = Rcw.T
+    origin = -Rwc @ tcw
+    rays_w = rays_c @ Rwc.T  # [H,W,3]
+    best_t = np.full((height, width), np.inf)
+    img = np.zeros((height, width), np.float32)
+    for pl in planes:
+        denom = rays_w @ pl.normal
+        num = (pl.origin - origin) @ pl.normal
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / denom
+        t = np.nan_to_num(t, nan=-1.0, posinf=-1.0, neginf=-1.0)
+        hit = (t > 0.05) & (t < best_t) & (np.abs(denom) > 1e-9)
+        if not hit.any():
+            continue
+        P = origin[None, None] + rays_w * t[..., None]
+        du = np.nan_to_num((P - pl.origin) @ pl.u_axis)
+        dv = np.nan_to_num((P - pl.origin) @ pl.v_axis)
+        inside = hit & (du >= 0) & (du <= pl.extent_u) & (dv >= 0) & (dv <= pl.extent_v)
+        if not inside.any():
+            continue
+        n = pl.texture.shape[0]
+        tu = np.clip(du / pl.extent_u * (n - 1), 0, n - 1.001)
+        tv = np.clip(dv / pl.extent_v * (n - 1), 0, n - 1.001)
+        u0 = tu.astype(int)
+        v0 = tv.astype(int)
+        fu = tu - u0
+        fv = tv - v0
+        tex = pl.texture
+        val = (
+            tex[v0, u0] * (1 - fu) * (1 - fv)
+            + tex[v0, np.minimum(u0 + 1, n - 1)] * fu * (1 - fv)
+            + tex[np.minimum(v0 + 1, n - 1), u0] * (1 - fu) * fv
+            + tex[np.minimum(v0 + 1, n - 1), np.minimum(u0 + 1, n - 1)] * fu * fv
+        )
+        img = np.where(inside, val, img)
+        best_t = np.where(inside, t, best_t)
+    return img
+
+
+class SyntheticSequence:
+    """Mono(+stereo) sequence generator with GT poses and IMU."""
+
+    def __init__(
+        self,
+        seed=0,
+        height=240,
+        width=376,
+        fx=200.0,
+        fy=200.0,
+        cx=None,
+        cy=None,
+        fps=10.0,
+        n_frames=40,
+        speed=0.5,
+        baseline=0.1,
+        imu_rate=200.0,
+    ):
+        rng = np.random.RandomState(seed)
+        self.planes = make_room(rng)
+        self.traj = Trajectory(speed=speed)
+        self.height, self.width = height, width
+        self.fx, self.fy = fx, fy
+        self.cx = cx if cx is not None else width / 2.0
+        self.cy = cy if cy is not None else height / 2.0
+        self.fps = fps
+        self.n_frames = n_frames
+        self.baseline = baseline
+        self.imu_rate = imu_rate
+
+    def timestamps(self):
+        return np.arange(self.n_frames) / self.fps
+
+    def gt_pose_cw(self, t):
+        return self.traj.pose_cw(t)
+
+    def frame(self, i, right=False):
+        t = i / self.fps
+        Rcw, tcw = self.traj.pose_cw(t)
+        if right:
+            # right camera: shifted along camera +x axis by baseline
+            # Tc2w = Trl @ Tcw with Trl = (I, [-b,0,0])
+            tcw = tcw + np.array([-self.baseline, 0.0, 0.0])
+        return render(
+            self.planes, Rcw, tcw, self.height, self.width,
+            self.fx, self.fy, self.cx, self.cy,
+        )
+
+    def imu_between(self, t0, t1):
+        """Perfect IMU samples in (t0, t1]: (t, gyro_body [3], acc_body [3]).
+
+        acc measures specific force: a_body = R_cw (a_world + g_up) where
+        gravity vector is -9.81 z_world (so accelerometer at rest reads +g
+        up). Body frame == camera frame (Tbc = I) for synthetic data.
+        """
+        dt = 1.0 / self.imu_rate
+        ts = np.arange(np.floor(t0 / dt) * dt + dt, t1 + 1e-9, dt)
+        out_t, out_w, out_a = [], [], []
+        g_world = np.array([0.0, 0.0, -GRAVITY])
+        for t in ts:
+            Rcw, _ = self.traj.pose_cw(t)
+            a_w = self.traj.acc(t)
+            w_w = self.traj.omega_world(t)
+            out_t.append(t)
+            out_w.append(Rcw @ w_w)
+            out_a.append(Rcw @ (a_w - g_world))
+        return np.array(out_t), np.array(out_w), np.array(out_a)

@@ -1,0 +1,306 @@
+"""Array-resident SLAM map: keyframes, map points, covisibility.
+
+TPU-native redesign of the reference's pointer-graph map model
+(ref: src/KeyFrame.cc, MapPoint.cc, Map.cc): struct-of-arrays with growable
+capacity + validity masks, host-side numpy for the dynamic graph structure
+(covisibility weights, spanning tree, observations), bulk numerics on
+device. There are NO per-object mutexes — the engine owns the map and
+mutates it between device dispatches; concurrent mapping uses versioned
+snapshots (see parallel/).
+
+Observation structure: kf_mp[kf, slot] = mp id (or -1) is the canonical
+store (the reference's KeyFrame::mvpMapPoints); mp_obs (mp -> [(kf, slot)])
+is the inverse index (the reference's MapPoint::mObservations).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.hamming import hamming_packed
+import jax.numpy as jnp
+
+
+def _grow(arr, new_cap):
+    out = np.zeros((new_cap,) + arr.shape[1:], arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+@dataclass
+class FrameFeatures:
+    """Per-frame extracted features (host copies of extractor output)."""
+
+    xy: np.ndarray        # [N,2] raw pixel coords (level 0 frame)
+    und_xy: np.ndarray    # [N,2] undistorted pixel coords
+    norm_xy: np.ndarray   # [N,2] normalized camera-plane coords
+    octave: np.ndarray    # [N] int32
+    angle: np.ndarray     # [N] rad
+    response: np.ndarray  # [N]
+    bits: np.ndarray      # [N,256] u8
+    packed: np.ndarray    # [N,8] u32
+    valid: np.ndarray     # [N] bool
+    depth: np.ndarray | None = None   # [N] stereo/RGBD depth (<=0: none)
+    u_right: np.ndarray | None = None # [N] stereo right u (<0: none)
+
+    @property
+    def n(self):
+        return len(self.xy)
+
+
+class SlamMap:
+    """One SLAM session's map (an Atlas holds several)."""
+
+    def __init__(self, n_feat: int, scale: float = 1.2, n_levels: int = 8,
+                 map_id: int = 0):
+        self.map_id = map_id
+        self.n_feat = n_feat
+        self.scale_factors = scale ** np.arange(n_levels)
+        self.n_levels = n_levels
+        # --- keyframes (SoA, capacity-doubling)
+        cap = 64
+        self.n_kf = 0
+        self.kf_R = np.zeros((cap, 3, 3))
+        self.kf_t = np.zeros((cap, 3))
+        self.kf_time = np.zeros(cap)
+        self.kf_valid = np.zeros(cap, bool)
+        self.kf_frame_id = np.zeros(cap, np.int64)
+        self.kf_mp = np.full((cap, n_feat), -1, np.int32)
+        self.kf_feats: list[FrameFeatures | None] = [None] * cap
+        # inertial state per KF
+        self.kf_vel = np.zeros((cap, 3))
+        self.kf_bg = np.zeros((cap, 3))
+        self.kf_ba = np.zeros((cap, 3))
+        self.kf_preint: list = [None] * cap  # Preintegrated from prev KF
+        self.kf_prev = np.full(cap, -1, np.int32)  # temporal chain
+        self.kf_parent = np.full(cap, -1, np.int32)  # spanning tree
+        # --- map points
+        mcap = 1024
+        self.n_mp = 0
+        self.mp_pos = np.zeros((mcap, 3))
+        self.mp_normal = np.zeros((mcap, 3))
+        self.mp_min_dist = np.zeros(mcap)
+        self.mp_max_dist = np.zeros(mcap)
+        self.mp_bits = np.zeros((mcap, 256), np.uint8)
+        self.mp_valid = np.zeros(mcap, bool)
+        self.mp_first_kf = np.full(mcap, -1, np.int32)
+        self.mp_visible = np.zeros(mcap, np.int32)
+        self.mp_found = np.zeros(mcap, np.int32)
+        self.mp_obs: list[dict[int, int]] = []  # mp -> {kf: slot}
+        self.mp_replaced_by = np.full(mcap, -1, np.int32)
+        # --- covisibility: kf -> {kf: weight}
+        self.covis: list[dict[int, int]] = []
+        # bookkeeping
+        self.imu_initialized = False
+        self.inertial_ba1 = False
+        self.inertial_ba2 = False
+
+    # ------------------------------------------------------------- keyframes
+    def _ensure_kf_cap(self):
+        if self.n_kf < len(self.kf_R):
+            return
+        cap = len(self.kf_R) * 2
+        for name in ("kf_R", "kf_t", "kf_time", "kf_valid", "kf_frame_id",
+                     "kf_mp", "kf_vel", "kf_bg", "kf_ba", "kf_prev",
+                     "kf_parent"):
+            setattr(self, name, _grow(getattr(self, name), cap))
+        self.kf_feats.extend([None] * (cap - len(self.kf_feats)))
+        self.kf_preint.extend([None] * (cap - len(self.kf_preint)))
+        self.kf_mp[self.n_kf:] = -1
+        self.kf_prev[self.n_kf:] = -1
+        self.kf_parent[self.n_kf:] = -1
+
+    def add_keyframe(self, R, t, feats: FrameFeatures, time: float,
+                     frame_id: int = -1, mp_assign=None) -> int:
+        """mp_assign [N] int32: map point id per feature slot (-1 = none)."""
+        self._ensure_kf_cap()
+        k = self.n_kf
+        self.n_kf += 1
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+        self.kf_time[k] = time
+        self.kf_valid[k] = True
+        self.kf_frame_id[k] = frame_id
+        self.kf_feats[k] = feats
+        self.covis.append({})
+        if mp_assign is not None:
+            for slot in np.nonzero(mp_assign >= 0)[0]:
+                self.add_observation(int(mp_assign[slot]), k, int(slot))
+        return k
+
+    # ------------------------------------------------------------ map points
+    def _ensure_mp_cap(self):
+        if self.n_mp < len(self.mp_pos):
+            return
+        cap = len(self.mp_pos) * 2
+        for name in ("mp_pos", "mp_normal", "mp_min_dist", "mp_max_dist",
+                     "mp_bits", "mp_valid", "mp_first_kf", "mp_visible",
+                     "mp_found", "mp_replaced_by"):
+            setattr(self, name, _grow(getattr(self, name), cap))
+        self.mp_replaced_by[self.n_mp:] = -1
+        self.mp_first_kf[self.n_mp:] = -1
+
+    def add_point(self, pos, ref_kf: int, slot: int) -> int:
+        self._ensure_mp_cap()
+        j = self.n_mp
+        self.n_mp += 1
+        self.mp_pos[j] = pos
+        self.mp_valid[j] = True
+        self.mp_first_kf[j] = ref_kf
+        self.mp_obs.append({})
+        self.mp_visible[j] = 1
+        self.mp_found[j] = 1
+        self.add_observation(j, ref_kf, slot)
+        self.update_point_stats(j)
+        return j
+
+    def add_observation(self, mp: int, kf: int, slot: int):
+        if not self.mp_valid[mp]:
+            return
+        prev = self.kf_mp[kf, slot]
+        if prev == mp:
+            return
+        if prev >= 0:
+            self.erase_observation(int(prev), kf)
+        old_slot = self.mp_obs[mp].get(kf)
+        if old_slot is not None:
+            self.kf_mp[kf, old_slot] = -1
+        self.mp_obs[mp][kf] = slot
+        self.kf_mp[kf, slot] = mp
+
+    def erase_observation(self, mp: int, kf: int):
+        slot = self.mp_obs[mp].pop(kf, None)
+        if slot is not None and self.kf_mp[kf, slot] == mp:
+            self.kf_mp[kf, slot] = -1
+        if len(self.mp_obs[mp]) <= 1 and self.mp_valid[mp]:
+            # ref: MapPoint::EraseObservation -> SetBadFlag when obs<=2 for
+            # stereo / <=1 mono-ish; use <=1
+            self.set_bad_point(mp)
+
+    def set_bad_point(self, mp: int):
+        self.mp_valid[mp] = False
+        for kf, slot in list(self.mp_obs[mp].items()):
+            if self.kf_mp[kf, slot] == mp:
+                self.kf_mp[kf, slot] = -1
+        self.mp_obs[mp] = {}
+
+    def replace_point(self, old: int, new: int):
+        """ref: MapPoint::Replace — all observations move to `new`."""
+        if old == new:
+            return
+        for kf, slot in list(self.mp_obs[old].items()):
+            if kf in self.mp_obs[new]:
+                # target already observed in this KF: drop the old obs
+                if self.kf_mp[kf, slot] == old:
+                    self.kf_mp[kf, slot] = -1
+            else:
+                self.mp_obs[new][kf] = slot
+                self.kf_mp[kf, slot] = new
+        self.mp_found[new] += self.mp_found[old]
+        self.mp_visible[new] += self.mp_visible[old]
+        self.mp_obs[old] = {}
+        self.mp_valid[old] = False
+        self.mp_replaced_by[old] = new
+        self.update_point_stats(new)
+
+    def update_point_stats(self, mp: int):
+        """Distinctive descriptor (min median Hamming) + normal & scale range
+        (ref: MapPoint::ComputeDistinctiveDescriptors, UpdateNormalAndDepth)."""
+        obs = self.mp_obs[mp]
+        if not obs:
+            return
+        descs = np.stack([self.kf_feats[kf].bits[slot] for kf, slot in obs.items()])
+        if len(descs) == 1:
+            self.mp_bits[mp] = descs[0]
+        else:
+            d = (descs[:, None, :] != descs[None, :, :]).sum(-1)
+            med = np.median(d, axis=1)
+            self.mp_bits[mp] = descs[int(np.argmin(med))]
+        # normal: mean of directions from KF centers; scale range from ref KF
+        pos = self.mp_pos[mp]
+        normals = []
+        for kf in obs:
+            Ow = -self.kf_R[kf].T @ self.kf_t[kf]
+            v = pos - Ow
+            n = np.linalg.norm(v)
+            if n > 1e-9:
+                normals.append(v / n)
+        if normals:
+            nm = np.mean(normals, axis=0)
+            nn = np.linalg.norm(nm)
+            self.mp_normal[mp] = nm / nn if nn > 1e-9 else nm
+        ref_kf = self.mp_first_kf[mp]
+        if ref_kf not in obs:
+            ref_kf = next(iter(obs))
+        slot = obs[ref_kf]
+        Ow = -self.kf_R[ref_kf].T @ self.kf_t[ref_kf]
+        dist = np.linalg.norm(pos - Ow)
+        level = self.kf_feats[ref_kf].octave[slot]
+        sf = self.scale_factors[level]
+        self.mp_max_dist[mp] = dist * sf
+        self.mp_min_dist[mp] = self.mp_max_dist[mp] / self.scale_factors[-1]
+
+    def predict_scale(self, dists, mp_ids):
+        """Predicted pyramid level from viewing distance
+        (ref: MapPoint::PredictScale)."""
+        ratio = self.mp_max_dist[mp_ids] / np.maximum(dists, 1e-9)
+        lvl = np.ceil(np.log(np.maximum(ratio, 1e-9)) / np.log(self.scale_factors[1]))
+        return np.clip(lvl, 0, self.n_levels - 1).astype(np.int32)
+
+    # ---------------------------------------------------------- covisibility
+    def update_connections(self, kf: int, th: int = 15):
+        """Recount shared map points with other KFs; weight >= th creates an
+        edge (always keep the single best). Sets spanning-tree parent on
+        first connection (ref: KeyFrame::UpdateConnections, :388)."""
+        counts: dict[int, int] = {}
+        for mp in self.kf_mp[kf, : self.n_feat]:
+            if mp < 0:
+                continue
+            for okf in self.mp_obs[mp]:
+                if okf != kf:
+                    counts[okf] = counts.get(okf, 0) + 1
+        if not counts:
+            self.covis[kf] = {}
+            return
+        best_kf = max(counts, key=counts.get)
+        edges = {o: w for o, w in counts.items() if w >= th}
+        if not edges:
+            edges = {best_kf: counts[best_kf]}
+        # symmetric update
+        old = self.covis[kf]
+        for o in set(old) - set(edges):
+            self.covis[o].pop(kf, None)
+        for o, w in edges.items():
+            self.covis[o][kf] = w
+        self.covis[kf] = edges
+        if self.kf_parent[kf] < 0 and kf != 0:
+            self.kf_parent[kf] = best_kf
+
+    def best_covisible(self, kf: int, k: int | None = None):
+        nb = sorted(self.covis[kf].items(), key=lambda kv: -kv[1])
+        nb = [o for o, w in nb if self.kf_valid[o]]
+        return nb if k is None else nb[:k]
+
+    def covisible_by_weight(self, kf: int, w_min: int):
+        return [o for o, w in self.covis[kf].items() if w >= w_min and self.kf_valid[o]]
+
+    # -------------------------------------------------------------- queries
+    def kf_center(self, kf: int):
+        return -self.kf_R[kf].T @ self.kf_t[kf]
+
+    def valid_kf_ids(self):
+        return np.nonzero(self.kf_valid[: self.n_kf])[0]
+
+    def valid_mp_ids(self):
+        return np.nonzero(self.mp_valid[: self.n_mp])[0]
+
+    def points_in_kfs(self, kf_ids):
+        ids = np.unique(self.kf_mp[kf_ids])
+        return ids[ids >= 0][self.mp_valid[ids[ids >= 0]]]
+
+    def resolve_replaced(self, mp: int) -> int:
+        while mp >= 0 and not self.mp_valid[mp] and self.mp_replaced_by[mp] >= 0:
+            mp = int(self.mp_replaced_by[mp])
+        return mp

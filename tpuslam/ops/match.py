@@ -14,6 +14,8 @@ Constants mirror ORBmatcher.cc:40-42.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +75,24 @@ def resolve_duplicates(match_idx, best, valid, m_size: int):
     return jnp.where(final, match_idx, -1), final
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_dist", "nn_ratio", "use_rot", "one_to_one")
+)
+def _match_core(bits_a, bits_b, mask, ang_a, ang_b, max_dist, nn_ratio,
+                use_rot, one_to_one):
+    dist = hamming_matrix(bits_a, bits_b)
+    idx, best, second = masked_best2(dist, mask)
+    valid = best <= max_dist
+    if nn_ratio is not None:
+        valid = valid & (best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    if use_rot:
+        ang_match = jnp.take(ang_b, idx)
+        valid = rotation_consistency(ang_a, ang_match, valid)
+    if one_to_one:
+        idx, valid = resolve_duplicates(idx, best, valid, bits_b.shape[0])
+    return jnp.where(valid, idx, -1), jnp.where(valid, best, BIG)
+
+
 def match(
     bits_a,
     bits_b,
@@ -83,21 +103,40 @@ def match(
     ang_b=None,
     one_to_one: bool = True,
 ):
-    """Generic masked matcher.
+    """Generic masked matcher (jit'd; one compiled program per shape bucket
+    and flag combination).
 
     Returns (match_idx [N] int32 into B or -1, dist [N] int32).
     """
-    dist = hamming_matrix(bits_a, bits_b)
-    idx, best, second = masked_best2(dist, mask)
-    valid = best <= max_dist
-    if nn_ratio is not None:
-        valid = valid & (best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    use_rot = ang_a is not None
+    if not use_rot:
+        ang_a = jnp.zeros(bits_a.shape[0], jnp.float32)
+        ang_b = jnp.zeros(bits_b.shape[0], jnp.float32)
+    return _match_core(
+        bits_a, bits_b, mask, ang_a, ang_b, int(max_dist),
+        None if nn_ratio is None else float(nn_ratio), use_rot, one_to_one,
+    )
+
+
+def match_padded(bits_a, bits_b, mask, ang_a=None, ang_b=None, **kw):
+    """Numpy-facing matcher that pads both sides to shape buckets so the
+    frame loop reuses a handful of compiled programs. All inputs numpy."""
+    from ..utils.pad import bucket, pad_to
+
+    n, m = len(bits_a), len(bits_b)
+    nb, mb = bucket(n), bucket(m)
+    mask_p = np.zeros((nb, mb), bool)
+    mask_p[:n, :m] = np.asarray(mask)
+    bits_a = pad_to(np.asarray(bits_a), nb)
+    bits_b = pad_to(np.asarray(bits_b), mb)
     if ang_a is not None:
-        ang_match = jnp.take(ang_b, idx)
-        valid = rotation_consistency(ang_a, ang_match, valid)
-    if one_to_one:
-        idx, valid = resolve_duplicates(idx, best, valid, bits_b.shape[0])
-    return jnp.where(valid, idx, -1), jnp.where(valid, best, BIG)
+        ang_a = jnp.asarray(pad_to(np.asarray(ang_a, np.float32), nb))
+        ang_b = jnp.asarray(pad_to(np.asarray(ang_b, np.float32), mb))
+    midx, dist = match(
+        jnp.asarray(bits_a), jnp.asarray(bits_b), jnp.asarray(mask_p),
+        ang_a=ang_a, ang_b=ang_b, **kw,
+    )
+    return np.asarray(midx)[:n], np.asarray(dist)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -143,3 +182,33 @@ def node_mask(nodes_a, nodes_b):
     """BoW FeatureVector alignment: same vocabulary node id
     (ref: SearchByBoW node-aligned loops ORBmatcher.cc:289-297)."""
     return nodes_a[:, None] == nodes_b[None, :]
+
+
+# ------------------------- numpy mask builders (host-side, for match_padded)
+
+
+def window_mask_np(xy_a_pred, xy_b, radius):
+    r = np.asarray(radius)
+    if r.ndim == 1:
+        r = r[:, None]
+    dx = np.abs(xy_a_pred[:, None, 0] - xy_b[None, :, 0])
+    dy = np.abs(xy_a_pred[:, None, 1] - xy_b[None, :, 1])
+    return (dx <= r) & (dy <= r)
+
+
+def level_mask_np(pred_level, octave_b, lo_off=0, hi_off=1):
+    pl = np.asarray(pred_level)[:, None]
+    ob = np.asarray(octave_b)[None, :]
+    return (ob >= pl - lo_off) & (ob <= pl + hi_off)
+
+
+def epipolar_mask_np(xy_b, lines, octave_b, level_sigma2, threshold=3.84):
+    num = (
+        lines[:, None, 0] * xy_b[None, :, 0]
+        + lines[:, None, 1] * xy_b[None, :, 1]
+        + lines[:, None, 2]
+    )
+    den2 = lines[:, 0] ** 2 + lines[:, 1] ** 2
+    d2 = num * num / np.maximum(den2[:, None], 1e-12)
+    sigma2 = np.asarray(level_sigma2)[np.asarray(octave_b)]
+    return d2 < threshold * sigma2[None, :]

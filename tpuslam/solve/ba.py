@@ -232,6 +232,51 @@ def ba_solve(
     return R, t, X, cost
 
 
+def ba_solve_np(
+    R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid, fixed,
+    fx, fy, cx, cy, bf, n_iters=10, robust=True,
+):
+    """Numpy-facing BA with shape bucketing (K, P, O, Q padded to buckets so
+    the frame loop reuses compiled programs). Returns (R, t, X, chi2 [O],
+    pos_depth [O]) with chi2 evaluated at the solution for outlier pruning.
+
+    Padded poses are fixed; padded observations have valid=False (zero
+    weight), so padding is numerically inert.
+    """
+    from ..utils.pad import bucket, pad_to
+
+    K, P, O = len(R), len(X), len(obs_kf)
+    pa, pb = build_obs_pairs(np.asarray(obs_pt), P)
+    Kb, Pb, Ob, Qb = bucket(K, 8), bucket(P, 256), bucket(O, 512), bucket(max(len(pa), 1), 1024)
+    Rp = pad_to(np.asarray(R, np.float64), Kb)
+    Rp[K:] = np.eye(3)
+    tp = pad_to(np.asarray(t, np.float64), Kb)
+    Xp = pad_to(np.asarray(X, np.float64), Pb)
+    okf = pad_to(np.asarray(obs_kf, np.int32), Ob, Kb - 1)
+    opt = pad_to(np.asarray(obs_pt, np.int32), Ob, Pb - 1)
+    uvrp = pad_to(np.asarray(uvr, np.float64), Ob)
+    is2 = pad_to(np.asarray(inv_sigma2, np.float64), Ob)
+    st = pad_to(np.asarray(stereo, bool), Ob, False)
+    vl = pad_to(np.asarray(valid, bool), Ob, False)
+    fx_p = pad_to(np.asarray(fixed, bool), Kb, True)
+    pap = pad_to(pa.astype(np.int32), Qb, Ob - 1)
+    pbp = pad_to(pb.astype(np.int32), Qb, Ob - 1)
+    Rf, tf, Xf, cost = ba_solve(
+        jnp.asarray(Rp), jnp.asarray(tp), jnp.asarray(Xp), jnp.asarray(okf),
+        jnp.asarray(opt), jnp.asarray(uvrp), jnp.asarray(is2), jnp.asarray(st),
+        jnp.asarray(vl), jnp.asarray(fx_p), jnp.asarray(pap), jnp.asarray(pbp),
+        fx, fy, cx, cy, bf, n_iters=n_iters, robust=robust,
+    )
+    chi2, posz = _ba_chi2_jit(
+        Rf, tf, Xf, jnp.asarray(okf), jnp.asarray(opt), jnp.asarray(uvrp),
+        jnp.asarray(is2), jnp.asarray(st), fx, fy, cx, cy, bf,
+    )
+    return (
+        np.asarray(Rf)[:K], np.asarray(tf)[:K], np.asarray(Xf)[:P],
+        np.asarray(chi2)[:O], np.asarray(posz)[:O],
+    )
+
+
 def ba_chi2(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, fx, fy, cx, cy, bf):
     """Per-observation chi2 + positive-depth flags (for outlier pruning
     between BA phases, ref Optimizer.cc:2064-2120)."""
@@ -239,3 +284,6 @@ def ba_chi2(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, fx, fy, cx, cy, bf
     tk = t[obs_kf]
     r, _, _, z = project_residuals(Rk, tk, X[obs_pt], uvr, stereo, fx, fy, cx, cy, bf)
     return jnp.sum(r * r, -1) * inv_sigma2, z > 0
+
+
+_ba_chi2_jit = jax.jit(ba_chi2, static_argnames=())
