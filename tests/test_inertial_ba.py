@@ -1,0 +1,153 @@
+"""Visual-inertial BA: recover a perturbed trajectory + biases on a
+synthetic sequence with perfect IMU and pixel observations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuslam.imu import preintegration as PI
+from tpuslam.io.synthetic import SyntheticSequence
+from tpuslam.solve.ba import build_obs_pairs
+from tpuslam.solve.inertial_ba import vi_ba_solve
+from tpuslam.core import lie
+
+
+def _make_problem(rng, K=6, P=60, fps=5.0):
+    seq = SyntheticSequence(n_frames=K, fps=fps, imu_rate=500.0)
+    tr = seq.traj
+    times = seq.timestamps()
+    fx = fy = 300.0
+    cx = cy = 200.0
+    # GT states (body == camera): Rwb = Rwc, p = twc
+    Rwb = np.stack([tr.pose_cw(t)[0].T for t in times])
+    p = np.stack([tr.pos(t) for t in times])
+    v = np.stack([tr.vel(t) for t in times])
+    # landmarks: points in front of the mid-trajectory camera
+    mid = K // 2
+    Xc = np.stack(
+        [rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P), rng.uniform(3, 8, P)], 1
+    )
+    X = Xc @ Rwb[mid].T + p[mid]
+    # observations: every KF sees every landmark (in front)
+    obs_kf, obs_pt, uvr = [], [], []
+    for k in range(K):
+        Xck = (X - p[k]) @ Rwb[k]
+        z = Xck[:, 2]
+        u = fx * Xck[:, 0] / z + cx
+        vv = fy * Xck[:, 1] / z + cy
+        for j in range(P):
+            if z[j] > 0.2:
+                obs_kf.append(k)
+                obs_pt.append(j)
+                uvr.append([u[j], vv[j], 0.0])
+    obs_kf = np.array(obs_kf, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    uvr = np.array(uvr)
+    O = len(obs_kf)
+    # preintegrations between consecutive KFs
+    pres = []
+    for k in range(K - 1):
+        ts, ws, accs = seq.imu_between(times[k], times[k + 1])
+        dts = np.diff(np.concatenate([[times[k]], ts]))
+        pres.append(
+            PI.preintegrate(
+                jnp.asarray(ws), jnp.asarray(accs), jnp.asarray(dts),
+                jnp.zeros(3), jnp.zeros(3), 1e-6, 1e-5, 1e-9, 1e-8,
+            )
+        )
+    pre_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+    info9 = jnp.stack(
+        [PI.information_from_cov(pre["C"][:9, :9]) for pre in pres]
+    )
+    E = K - 1
+    edges_a = np.arange(E, dtype=np.int32)
+    edges_b = edges_a + 1
+    dT = np.array([float(pre["dT"]) for pre in pres])
+    rw_info_g = 1.0 / (1e-9 * dT)
+    rw_info_a = 1.0 / (1e-8 * dT)
+    pair_a, pair_b = build_obs_pairs(obs_pt, P)
+    return dict(
+        Rwb=Rwb, p=p, v=v, X=X, obs_kf=obs_kf, obs_pt=obs_pt, uvr=uvr,
+        inv_sigma2=np.ones(O), stereo=np.zeros(O, bool),
+        valid=np.ones(O, bool), edges_a=edges_a, edges_b=edges_b,
+        pre_stack=pre_stack, info9=info9, rw_info_g=rw_info_g,
+        rw_info_a=rw_info_a, pair_a=pair_a, pair_b=pair_b,
+        fx=fx, fy=fy, cx=cx, cy=cy, K=K, P=P,
+    )
+
+
+def _solve(d, Rwb0, p0, v0, bg0, ba0, X0, fixed, **kw):
+    K = d["K"]
+    out = vi_ba_solve(
+        jnp.asarray(Rwb0), jnp.asarray(p0), jnp.asarray(v0),
+        jnp.asarray(bg0), jnp.asarray(ba0), jnp.asarray(X0),
+        jnp.asarray(d["obs_kf"]), jnp.asarray(d["obs_pt"]),
+        jnp.asarray(d["uvr"]), jnp.asarray(d["inv_sigma2"]),
+        jnp.asarray(d["stereo"]), jnp.asarray(d["valid"]),
+        jnp.asarray(d["edges_a"]), jnp.asarray(d["edges_b"]),
+        d["pre_stack"], d["info9"],
+        jnp.zeros((K, 3)), jnp.zeros((K, 3)),
+        jnp.asarray(fixed), jnp.asarray(d["pair_a"]), jnp.asarray(d["pair_b"]),
+        d["fx"], d["fy"], d["cx"], d["cy"], 0.0,
+        jnp.asarray(d["rw_info_g"]), jnp.asarray(d["rw_info_a"]), **kw,
+    )
+    return [np.asarray(x) for x in out[:-1]] + [float(out[-1])]
+
+
+def test_vi_ba_zero_residual_at_truth(rng):
+    d = _make_problem(rng)
+    K = d["K"]
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    Rf, pf, vf, bgf, baf, Xf, cost = _solve(
+        d, d["Rwb"], d["p"], d["v"], np.zeros((K, 3)), np.zeros((K, 3)),
+        d["X"], fixed, n_iters=2,
+    )
+    # at ground truth the cost is tiny and the state barely moves
+    assert cost < 1.0
+    np.testing.assert_allclose(pf, d["p"], atol=1e-3)
+
+
+def test_vi_ba_recovers_perturbed_states(rng):
+    d = _make_problem(rng)
+    K, P = d["K"], d["P"]
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    # perturb everything but the first pose
+    Rn = d["Rwb"].copy()
+    pn = d["p"].copy()
+    vn = d["v"] + rng.randn(K, 3) * 0.05
+    for k in range(1, K):
+        Rn[k] = Rn[k] @ np.asarray(lie.so3_exp(jnp.asarray(rng.randn(3) * 0.02)))
+        pn[k] = pn[k] + rng.randn(3) * 0.05
+    Xn = d["X"] + rng.randn(P, 3) * 0.05
+    bgn = np.tile(rng.randn(3) * 0.01, (K, 1))
+    ban = np.tile(rng.randn(3) * 0.05, (K, 1))
+    Rf, pf, vf, bgf, baf, Xf, cost = _solve(
+        d, Rn, pn, vn, bgn, ban, Xn, fixed, n_iters=60,
+    )
+    np.testing.assert_allclose(pf, d["p"], atol=2e-3)
+    np.testing.assert_allclose(vf, d["v"], atol=2e-2)
+    for k in range(K):
+        err = np.asarray(
+            lie.so3_log(jnp.asarray(Rf[k].T @ d["Rwb"][k]))
+        )
+        assert np.linalg.norm(err) < 2e-3, k
+    # biases pulled back toward the true (zero) values
+    assert np.abs(bgf).max() < 5e-3
+    assert np.abs(baf).max() < 5e-2
+
+
+def test_vi_ba_fixed_pose_stays(rng):
+    d = _make_problem(rng)
+    K = d["K"]
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    Rn = d["Rwb"].copy()
+    pn = d["p"] + np.concatenate([np.zeros((1, 3)), rng.randn(K - 1, 3) * 0.03])
+    Rf, pf, *_ = _solve(
+        d, Rn, pn, d["v"], np.zeros((K, 3)), np.zeros((K, 3)), d["X"],
+        fixed, n_iters=8,
+    )
+    np.testing.assert_allclose(pf[0], d["p"][0], atol=1e-12)
+    np.testing.assert_allclose(Rf[0], d["Rwb"][0], atol=1e-12)

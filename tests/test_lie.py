@@ -126,3 +126,21 @@ def test_normalize_rotation(rng):
     eye = np.broadcast_to(np.eye(3), Rn.shape)
     np.testing.assert_allclose(Rn @ np.swapaxes(Rn, -1, -2), eye, atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(Rn), 1.0, atol=1e-5)
+
+
+def test_grad_safe_at_identity():
+    """jacfwd/grad through exp/log/right-jacobian at the origin must be
+    finite (the double-where pattern; a NaN here poisons whole GN solves)."""
+    import jax
+
+    for fn in (lie.so3_exp, lie.so3_right_jacobian, lie.so3_right_jacobian_inv):
+        J = jax.jacfwd(fn)(jnp.zeros(3))
+        assert np.isfinite(np.asarray(J)).all(), fn.__name__
+    J = jax.jacfwd(lambda w: lie.so3_log(lie.so3_exp(w)))(jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(J), np.eye(3), atol=1e-9)
+    J = jax.jacfwd(lie.se3_exp)(jnp.zeros(6))
+    assert all(np.isfinite(np.asarray(j)).all() for j in J)
+    # log near (but not at) identity as well
+    w = jnp.asarray(np.array([1e-6, -2e-6, 1.5e-6]))
+    J = jax.jacfwd(lambda w: lie.so3_log(lie.so3_exp(w)))(w)
+    np.testing.assert_allclose(np.asarray(J), np.eye(3), atol=1e-5)

@@ -40,18 +40,19 @@ def so3_exp(w):
     """Rodrigues formula, exp: so(3) [...,3] -> SO(3) [...,3,3].
 
     Matches reference ExpSO3 (src/ImuTypes.cc ~ header ImuTypes.h:270)
-    including the small-angle Taylor branch.
+    including the small-angle Taylor branch. Grad-safe at w=0: sqrt only
+    sees values bounded away from zero (double-where pattern), so jacfwd/
+    grad through exp at the origin is exact, not NaN.
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     W = hat(w)
     W2 = W @ W
     small = theta2 < _EPS
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
@@ -60,22 +61,31 @@ def so3_log(R):
     """log: SO(3) [...,3,3] -> so(3) [...,3].
 
     Matches reference LogSO3 (ImuTypes.h:272). Handles theta near 0 and pi.
+    Grad-safe at the identity (sqrt/atan2 only see values bounded away from
+    the singular point; the Taylor branch is a polynomial in sin^2 theta).
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-5
-    near_pi = theta > jnp.pi - 1e-3
-    # generic: w = theta / (2 sin theta) * vee(R - R^T)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.where(small, 1.0, sin_t + 1e-30))
+    s2 = jnp.sum(w_skew * w_skew, axis=-1)           # = sin^2 theta
+    small = cos_t > 1.0 - 1e-7
+    near_pi = cos_t < -1.0 + 5e-7
+    s2_safe = jnp.where(small | near_pi, 1.0, s2)
+    sin_t = jnp.sqrt(s2_safe)
+    theta_gen = jnp.arctan2(sin_t, cos_t)
+    # generic: w = theta / sin(theta) * w_skew; small: Taylor in s2
+    scale = jnp.where(
+        small, 1.0 + s2 / 6.0 + 3.0 * s2 * s2 / 40.0, theta_gen / sin_t
+    )
     w_generic = scale[..., None] * w_skew
+    # theta for the near-pi branch (arccos kept away from +-1 when unused)
+    theta = jnp.arccos(jnp.where(near_pi, jnp.maximum(cos_t, -1.0), 0.0))
     # near pi: axis from diagonal of (R + I)/2 = aa^T(1-cos)+..., use largest diag
     B = (R + jnp.swapaxes(R, -1, -2)) * 0.5  # symmetric part
     d = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
     axis2 = jnp.clip((d - cos_t[..., None]) / jnp.where(jnp.abs(1.0 - cos_t) < 1e-12, 1.0, (1.0 - cos_t))[..., None], 0.0, 1.0)
-    axis_abs = jnp.sqrt(axis2)
+    axis2_safe = jnp.where(near_pi[..., None], jnp.maximum(axis2, 1e-12), 1.0)
+    axis_abs = jnp.sqrt(axis2_safe)
     # signs from off-diagonal symmetric products relative to the dominant axis
     k = jnp.argmax(axis_abs, axis=-1)
 
@@ -104,12 +114,12 @@ def so3_log(R):
 def so3_right_jacobian(w):
     """Right Jacobian of SO(3) (ref: RightJacobianSO3, ImuTypes.h:274)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     W = hat(w)
     W2 = W @ W
     small = theta2 < _EPS
     safe_t2 = jnp.where(small, 1.0, theta2)
-    safe_t3 = safe_t2 * jnp.where(small, 1.0, theta)
+    theta = jnp.sqrt(safe_t2)
+    safe_t3 = safe_t2 * theta
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -119,17 +129,17 @@ def so3_right_jacobian(w):
 def so3_right_jacobian_inv(w):
     """Inverse right Jacobian (ref: InverseRightJacobianSO3, ImuTypes.h:276)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     W = hat(w)
     W2 = W @ W
     small = theta2 < _EPS
     safe_t2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe_t2)
     # 1/t^2 - (1+cos t)/(2 t sin t) ; Taylor: 1/12 + t^2/720
     c = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
         1.0 / safe_t2
-        - (1.0 + jnp.cos(theta)) / jnp.where(small, 1.0, 2.0 * theta * jnp.sin(theta) + 1e-30),
+        - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.sin(theta) + 1e-30),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + 0.5 * W + c[..., None, None] * W2
@@ -156,12 +166,12 @@ def se3_exp(xi):
     R = so3_exp(phi)
     # V = I + b*W + c*W2 with b=(1-cos)/t^2, c=(t-sin)/t^3  (left Jacobian)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     W = hat(phi)
     W2 = W @ W
     small = theta2 < _EPS
     safe_t2 = jnp.where(small, 1.0, theta2)
-    safe_t3 = safe_t2 * jnp.where(small, 1.0, theta)
+    theta = jnp.sqrt(safe_t2)
+    safe_t3 = safe_t2 * theta
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
@@ -174,17 +184,17 @@ def se3_log(R, t):
     """log: SE(3) -> [...,6] (rho, phi)."""
     phi = so3_log(R)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     W = hat(phi)
     W2 = W @ W
     small = theta2 < _EPS
     safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe)
     # V^{-1} = I - W/2 + c*W2, c = (1 - t*cos(t/2)/(2 sin(t/2)))/t^2
     half = theta * 0.5
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.where(small, 1.0, jnp.sin(half) + 1e-30)) / safe,
+        (1.0 - half * jnp.cos(half) / (jnp.sin(half) + 1e-30)) / safe,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), W.shape)
     Vinv = eye - 0.5 * W + cot_term[..., None, None] * W2

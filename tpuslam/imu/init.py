@@ -1,0 +1,150 @@
+"""Inertial-only initialization: gravity direction, scale, biases, velocities.
+
+Replaces the reference's IMU-init optimizations (ref:
+Optimizer::InertialOptimization src/Optimizer.cc:5303 — VertexGDir 2-DoF
+gravity G2oTypes.h:271, VertexScale :293, shared VertexGyroBias/VertexAccBias,
+per-KF VertexVelocity; poses FIXED; EdgeInertialGS :545 couples them) and the
+gyro-bias bootstrap (Tracking::ComputeGyroBias src/Tracking.cc:724).
+
+TPU-shaped: the whole problem is one dense GN over a (8 + 3K)-dim state
+(phi_g[2], log_s, bg[3], ba? shared, v[K*3]) with jacfwd residual Jacobians —
+E edges x 9 residuals, K <= ~30 keyframes, so a single small dense solve per
+iteration; everything jit'd with static K/E.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.lie import so3_exp, so3_log
+from .preintegration import GRAVITY, corrected_delta
+
+
+def gyro_bias_from_rotations(Rwb_pairs, pre_dR, pre_JRg):
+    """Closed-ish form gyro bias: GN on r = Log((dR Exp(JRg bg))^T Rwb1^T Rwb2)
+    (ref: Tracking::ComputeGyroBias Tracking.cc:724 solves the linearized
+    normal equations once).
+
+    Rwb_pairs: (Rwb1 [E,3,3], Rwb2 [E,3,3]); pre_dR/pre_JRg [E,3,3].
+    Returns bg [3].
+    """
+    Rwb1, Rwb2 = Rwb_pairs
+
+    def residuals(bg):
+        def one(R1, R2, dR, JRg):
+            return so3_log(
+                jnp.swapaxes(dR @ so3_exp(JRg @ bg), -1, -2)
+                @ jnp.swapaxes(R1, -1, -2) @ R2
+            )
+        return jax.vmap(one)(Rwb1, Rwb2, pre_dR, pre_JRg).reshape(-1)
+
+    bg = jnp.zeros(3, Rwb1.dtype)
+    for _ in range(3):
+        J = jax.jacfwd(residuals)(bg)
+        r = residuals(bg)
+        H = J.T @ J + 1e-9 * jnp.eye(3, dtype=bg.dtype)
+        bg = bg - jnp.linalg.solve(H, J.T @ r)
+    return bg
+
+
+def _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack, mono_scale):
+    """Stacked 9-dim EdgeInertialGS residuals for all edges.
+
+    theta = [phi_g(2), log_s(1), bg(3), ba(3), v(K*3)].
+    Gravity Gw = Rwg * (0,0,-G) with Rwg = Exp([phi_x, phi_y, 0]) (2-DoF,
+    ref VertexGDir G2oTypes.h:271). Positions scaled by s when mono_scale.
+    """
+    K = Rwb.shape[0]
+    dtype = Rwb.dtype
+    phi = jnp.concatenate([theta[0:2], jnp.zeros(1, dtype)])
+    Rwg = so3_exp(phi)
+    s = jnp.exp(theta[2]) if mono_scale else jnp.asarray(1.0, dtype)
+    bg = theta[3:6]
+    ba = theta[6:9]
+    v = theta[9:].reshape(K, 3)
+    g = Rwg @ jnp.asarray(np.array([0.0, 0.0, -GRAVITY]), dtype)
+
+    def edge(a, b):
+        pre = jax.tree.map(lambda x: x[a], pre_stack)
+        dT = pre["dT"]
+        dR, dV, dP = corrected_delta(pre, bg, ba)
+        R1, R2 = Rwb[a], Rwb[b]
+        p1, p2 = s * p[a], s * p[b]
+        v1, v2 = v[a], v[b]
+        er = so3_log(dR.T @ R1.T @ R2)
+        ev = R1.T @ (v2 - v1 - g * dT) - dV
+        ep = R1.T @ (p2 - p1 - v1 * dT - 0.5 * g * dT * dT) - dP
+        return jnp.concatenate([er, ev, ep])
+
+    return jax.vmap(edge)(edges_a, edges_b)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "mono_scale",
+                                             "fix_accel_bias"))
+def inertial_init_solve(Rwb, p, v0, edges_a, edges_b, pre_stack, info9,
+                        prior_g: float = 1e2, prior_a: float = 1e10,
+                        n_iters: int = 20, mono_scale: bool = True,
+                        fix_accel_bias: bool = False):
+    """Estimate (Rwg, s, bg, ba, v) with KF poses fixed.
+
+    prior_g/prior_a: zero-mean bias priors (the ref init schedule passes
+    1e2/1e10 first, then 1e5 — LocalMapping.cc:1244,1270).
+    Returns dict(Rwg, scale, bg, ba, v [K,3], cost).
+    """
+    K = Rwb.shape[0]
+    dtype = Rwb.dtype
+    theta = jnp.concatenate([jnp.zeros(9, dtype), v0.reshape(-1)])
+
+    def res(theta):
+        return _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack,
+                             mono_scale)
+
+    def cost_of(theta):
+        r = res(theta)
+        c = jnp.sum(jnp.einsum("ei,eij,ej->e", r, info9, r))
+        c = c + prior_g * jnp.sum(theta[3:6] ** 2) + prior_a * jnp.sum(theta[6:9] ** 2)
+        return c
+
+    def step(carry, _):
+        theta, lam, cost = carry
+        r = res(theta)                                     # [E,9]
+        J = jax.jacfwd(res)(theta)                         # [E,9,D]
+        JW = jnp.einsum("eij,eid->ejd", info9, J)          # info @ J
+        H = jnp.einsum("eid,eif->df", J, JW)
+        b = -jnp.einsum("eid,ei->d", JW, r)
+        D = H.shape[0]
+        prior_diag = jnp.concatenate([
+            jnp.zeros(3, dtype),
+            jnp.full(3, prior_g, dtype), jnp.full(3, prior_a, dtype),
+            jnp.zeros(3 * K, dtype)])
+        H = H + jnp.diag(prior_diag)
+        b = b - prior_diag * theta
+        if not mono_scale:
+            H = H.at[2, :].set(0.0).at[:, 2].set(0.0).at[2, 2].set(1.0)
+            b = b.at[2].set(0.0)
+        if fix_accel_bias:
+            mask = jnp.ones(D, dtype).at[6:9].set(0.0)
+            H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+            b = b * mask
+        H = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(D, dtype=dtype)
+        dtheta = jnp.linalg.solve(H, b)
+        new = theta + dtheta
+        new_cost = cost_of(new)
+        accept = new_cost < cost
+        theta = jnp.where(accept, new, theta)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-9, 1e6)
+        return (theta, lam, jnp.where(accept, new_cost, cost)), None
+
+    (theta, _, cost), _ = jax.lax.scan(
+        step, (theta, jnp.asarray(1e-4, dtype), cost_of(theta)), None,
+        length=n_iters)
+    phi = jnp.concatenate([theta[0:2], jnp.zeros(1, dtype)])
+    return dict(
+        Rwg=so3_exp(phi),
+        scale=jnp.exp(theta[2]) if mono_scale else jnp.asarray(1.0, dtype),
+        bg=theta[3:6], ba=theta[6:9], v=theta[9:].reshape(K, 3), cost=cost,
+    )
