@@ -1,0 +1,122 @@
+"""Sim3 pose-graph (essential graph) optimization tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuslam.core import lie
+from tpuslam.solve.pose_graph import pose_graph_solve
+
+
+def test_sim3_log_roundtrip(rng):
+    xi = rng.randn(7) * 0.4
+    s, R, t = lie.sim3_exp(jnp.asarray(xi))
+    xi2 = lie.sim3_log(s, R, t)
+    np.testing.assert_allclose(np.asarray(xi2), xi, atol=1e-9)
+
+
+def _circle_graph(rng, K=12, drift=0.02, s_drift=0.01):
+    """Ring of poses with odometry edges + one loop edge; odometry has
+    accumulated drift, the loop edge is exact. Classic pose-graph setup."""
+    # GT: poses on a circle (Scw with s=1)
+    gt = []
+    for k in range(K):
+        ang = 2 * np.pi * k / K
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, ang])))
+        twc = np.array([np.cos(ang), np.sin(ang), 0.0]) * 3.0
+        Rcw = Rwc.T
+        tcw = -Rcw @ twc
+        gt.append((1.0, Rcw, tcw))
+
+    def compose_rel(a, b):
+        # S_b<-a = S_b o S_a^-1
+        sa, Ra, ta = a
+        sb, Rb, tb = b
+        si, Ri, ti = lie.sim3_inverse(
+            jnp.asarray(sa), jnp.asarray(Ra), jnp.asarray(ta))
+        return lie.sim3_compose(
+            jnp.asarray(sb), jnp.asarray(Rb), jnp.asarray(tb), si, Ri, ti)
+
+    # odometry measurements = exact relative + noise; estimated poses from
+    # integrating noisy odometry (drift accumulates)
+    est = [gt[0]]
+    meas = []
+    for k in range(K - 1):
+        s_rel, R_rel, t_rel = compose_rel(gt[k], gt[k + 1])
+        noise = rng.randn(7) * drift
+        noise[6] = rng.randn() * s_drift
+        dn, Rn, tn = lie.sim3_exp(jnp.asarray(noise))
+        s_noisy, R_noisy, t_noisy = lie.sim3_compose(
+            dn, Rn, tn, s_rel, R_rel, t_rel)
+        meas.append((k, k + 1, (float(s_noisy), np.asarray(R_noisy),
+                                np.asarray(t_noisy))))
+        # integrate: S_{k+1} = S_rel_noisy o S_k
+        sk, Rk, tk = est[k]
+        s2, R2, t2 = lie.sim3_compose(
+            s_noisy, R_noisy, t_noisy,
+            jnp.asarray(sk), jnp.asarray(Rk), jnp.asarray(tk))
+        est.append((float(s2), np.asarray(R2), np.asarray(t2)))
+    # loop edge: exact measurement K-1 <- 0
+    s_rel, R_rel, t_rel = compose_rel(gt[0], gt[K - 1])
+    meas.append((0, K - 1, (float(s_rel), np.asarray(R_rel),
+                            np.asarray(t_rel))))
+    return gt, est, meas
+
+
+def test_pose_graph_closes_loop(rng):
+    K = 12
+    gt, est, meas = _circle_graph(rng, K)
+    s0 = np.array([e[0] for e in est])
+    R0 = np.stack([e[1] for e in est])
+    t0 = np.stack([e[2] for e in est])
+    ei = np.array([m[0] for m in meas], np.int32)
+    ej = np.array([m[1] for m in meas], np.int32)
+    sm = np.array([m[2][0] for m in meas])
+    Rm = np.stack([m[2][1] for m in meas])
+    tm = np.stack([m[2][2] for m in meas])
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    # drift before optimization: last pose error
+    def pose_err(s, R, t, k):
+        sg, Rg, tg = gt[k]
+        # camera center error, metric
+        c_est = -(R[k].T @ t[k]) / s[k]
+        c_gt = -Rg.T @ tg
+        return np.linalg.norm(c_est - c_gt)
+
+    err_before = pose_err(s0, R0, t0, K - 1)
+    sf, Rf, tf, cost = pose_graph_solve(
+        jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(sm),
+        jnp.asarray(Rm), jnp.asarray(tm), jnp.ones(len(ei)),
+        jnp.asarray(fixed), n_iters=25,
+    )
+    sf = np.asarray(sf)
+    Rf = np.asarray(Rf)
+    tf = np.asarray(tf)
+    err_after = pose_err(sf, Rf, tf, K - 1)
+    assert err_after < 0.2 * err_before, (err_before, err_after)
+    # residual on the loop edge should now be small
+    assert float(cost) < 0.05 * len(meas)
+
+
+def test_pose_graph_fix_scale(rng):
+    K = 10
+    gt, est, meas = _circle_graph(rng, K, s_drift=0.0)
+    s0 = np.ones(K)
+    R0 = np.stack([e[1] for e in est])
+    t0 = np.stack([e[2] for e in est])
+    ei = np.array([m[0] for m in meas], np.int32)
+    ej = np.array([m[1] for m in meas], np.int32)
+    sm = np.ones(len(meas))
+    Rm = np.stack([m[2][1] for m in meas])
+    tm = np.stack([m[2][2] for m in meas])
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    sf, Rf, tf, cost = pose_graph_solve(
+        jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(sm),
+        jnp.asarray(Rm), jnp.asarray(tm), jnp.ones(len(ei)),
+        jnp.asarray(fixed), n_iters=20, fix_scale=True,
+    )
+    np.testing.assert_allclose(np.asarray(sf), 1.0, atol=1e-12)

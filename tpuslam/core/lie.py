@@ -297,6 +297,46 @@ def sim3_exp(xi):
     return s, R, t
 
 
+def _sim3_W(phi, sigma, dtype):
+    """The Sim(3) 'V' matrix W(sigma, theta) with t = W rho (shared by
+    sim3_exp / sim3_log)."""
+    s = jnp.exp(sigma)
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    W = hat(phi)
+    W2 = W @ W
+    eps_s = jnp.abs(sigma) < 1e-6
+    eps_t = theta2 < 1e-12
+    sig_safe = jnp.where(eps_s, 1.0, sigma)
+    t2_safe = jnp.where(eps_t, 1.0, theta2)
+    theta = jnp.sqrt(t2_safe)
+    A = jnp.where(eps_s, 1.0 + sigma / 2.0, (s - 1.0) / sig_safe)
+    a_ = s * jnp.sin(theta)
+    b_ = s * jnp.cos(theta)
+    c2 = theta2 + sigma * sigma
+    c2_safe = jnp.where(c2 < 1e-12, 1.0, c2)
+    B_gen = (a_ * sigma + (1.0 - b_) * theta) / (theta * c2_safe)
+    C_gen = (A - ((b_ - 1.0) * sigma + a_ * theta) / c2_safe) / t2_safe
+    B_s0 = jnp.where(eps_t, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2_safe)
+    C_s0 = jnp.where(eps_t, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (t2_safe * theta))
+    B_t0 = jnp.where(eps_s, 0.5, (sig_safe * s - s + 1.0) / (sig_safe * sig_safe))
+    C_t0 = jnp.where(
+        eps_s, 1.0 / 6.0, (0.5 * sig_safe * sig_safe * s + s - 1.0 - sig_safe * s) / (sig_safe ** 3)
+    )
+    B = jnp.where(eps_s, B_s0, jnp.where(eps_t, B_t0, B_gen))
+    C = jnp.where(eps_s, C_s0, jnp.where(eps_t, C_t0, C_gen))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), W.shape)
+    return A[..., None, None] * eye + B[..., None, None] * W + C[..., None, None] * W2
+
+
+def sim3_log(s, R, t):
+    """log: Sim(3) -> [...,7] (rho, phi, sigma). Inverse of sim3_exp."""
+    phi = so3_log(R)
+    sigma = jnp.log(s)
+    Wmat = _sim3_W(phi, sigma, R.dtype)
+    rho = jnp.linalg.solve(Wmat, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
+
+
 def quat_to_rot(q):
     """Quaternion [...,4] (x,y,z,w — TUM trajectory order) -> rotation matrix."""
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

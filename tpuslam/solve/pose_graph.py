@@ -1,0 +1,204 @@
+"""Sim(3) / SE(3) pose-graph optimization (the essential graph).
+
+Replaces the reference Optimizer::OptimizeEssentialGraph
+(src/Optimizer.cc:2347 — g2o VertexSim3Expmap/EdgeSim3 over loop +
+spanning-tree + strong-covisibility edges, 7DoF for mono, 6DoF fixed-scale
+for stereo/RGB-D) and the 4DoF inertial variant (:8305).
+
+TPU-shaped: per-edge 7-dim residuals with jacfwd block Jacobians (all
+edges one vmap), dense blocked Hessian [K,K,7,7] -> one device solve.
+Essential graphs are sparsified (spanning tree + th>=100 covis edges), so
+K is hundreds and E ~ O(K): a dense 7K x 7K solve on the MXU beats a
+host sparse Cholesky at this size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.lie import sim3_compose, sim3_exp, sim3_inverse, sim3_log
+
+
+def _edge_residual(eps_i, eps_j, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
+    """r = log_sim3(S_meas_ji o S_i o S_j^-1) with LEFT-multiplicative
+    increments S' = exp(eps) o S (g2o VertexSim3Expmap::oplusImpl)."""
+    dsi, dRi, dti = sim3_exp(eps_i)
+    dsj, dRj, dtj = sim3_exp(eps_j)
+    si2, Ri2, ti2 = sim3_compose(dsi, dRi, dti, si, Ri, ti)
+    sj2, Rj2, tj2 = sim3_compose(dsj, dRj, dtj, sj, Rj, tj)
+    sji, Rji, tji = sim3_inverse(sj2, Rj2, tj2)
+    s1, R1, t1 = sim3_compose(si2, Ri2, ti2, sji, Rji, tji)
+    s2, R2, t2 = sim3_compose(sm, Rm, tm, s1, R1, t1)
+    return sim3_log(s2, R2, t2)
+
+
+_edge_res = jax.vmap(_edge_residual, in_axes=(None, None) + (0,) * 9)
+_edge_jac = jax.vmap(
+    jax.jacfwd(_edge_residual, argnums=(0, 1)),
+    in_axes=(None, None) + (0,) * 9,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def pose_graph_solve(s, R, t, edges_i, edges_j, s_m, R_m, t_m, edge_w,
+                     fixed, n_iters: int = 20, fix_scale: bool = False,
+                     lam: float = 1e-6):
+    """Optimize Scw per keyframe. edges: i(from), j(to), measured S_ji
+    (j<-i), scalar weight. fixed [K] pins vertices. fix_scale freezes the
+    7th dof (SE3-like, ref OptimizeEssentialGraph bFixScale).
+
+    Returns (s, R, t, cost)."""
+    K = s.shape[0]
+    D = 7
+    dtype = t.dtype
+    z7 = jnp.zeros(D, dtype)
+
+    def build(state):
+        s, R, t = state
+        args = (s[edges_i], R[edges_i], t[edges_i],
+                s[edges_j], R[edges_j], t[edges_j], s_m, R_m, t_m)
+        r = _edge_res(z7, z7, *args)                     # [E,7]
+        Ji, Jj = _edge_jac(z7, z7, *args)                # [E,7,7]
+        w = edge_w[:, None, None]
+        H = jnp.zeros((K, K, D, D), dtype)
+        b = jnp.zeros((K, D), dtype)
+        JiT = jnp.swapaxes(Ji, 1, 2) * w
+        JjT = jnp.swapaxes(Jj, 1, 2) * w
+        H = H.at[edges_i, edges_i].add(JiT @ Ji)
+        H = H.at[edges_i, edges_j].add(JiT @ Jj)
+        H = H.at[edges_j, edges_i].add(JjT @ Ji)
+        H = H.at[edges_j, edges_j].add(JjT @ Jj)
+        b = b.at[edges_i].add(-jnp.einsum("eij,ej->ei", JiT, r))
+        b = b.at[edges_j].add(-jnp.einsum("eij,ej->ei", JjT, r))
+        cost = jnp.sum(edge_w * jnp.sum(r * r, -1))
+        return H, b, cost
+
+    def cost_of(state):
+        s, R, t = state
+        r = _edge_res(
+            z7, z7, s[edges_i], R[edges_i], t[edges_i],
+            s[edges_j], R[edges_j], t[edges_j], s_m, R_m, t_m)
+        return jnp.sum(edge_w * jnp.sum(r * r, -1))
+
+    free = jnp.ones((K, D), bool) & ~fixed[:, None]
+    if fix_scale:
+        free = free.at[:, 6].set(False)
+    freeF = free.reshape(K * D)
+
+    def step(carry, _):
+        state, mu, cost = carry
+        H, b, _ = build(state)
+        diag = jnp.diagonal(
+            H[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1)
+        eyeD = jnp.eye(D, dtype=dtype)
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            mu * eyeD * diag[:, None, :] + lam * eyeD)
+        S = H.transpose(0, 2, 1, 3).reshape(K * D, K * D)
+        S = jnp.where(freeF[:, None] & freeF[None, :], S, 0.0)
+        S = S + jnp.diag(jnp.where(freeF, 0.0, 1.0))
+        rhs = jnp.where(freeF, b.reshape(-1), 0.0)
+        dx = jnp.linalg.solve(S, rhs).reshape(K, D)
+        s_c, R_c, t_c = state
+        ds, dR, dt = sim3_exp(dx)
+        new = sim3_compose(ds, dR, dt, s_c, R_c, t_c)
+        new_cost = cost_of(new)
+        accept = new_cost < cost
+        state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, state)
+        mu = jnp.clip(jnp.where(accept, mu * 0.3, mu * 5.0), 1e-9, 1e6)
+        return (state, mu, jnp.where(accept, new_cost, cost)), None
+
+    state0 = (s, R, t)
+    (state, _, cost), _ = jax.lax.scan(
+        step, (state0, jnp.asarray(1e-5, dtype), cost_of(state0)), None,
+        length=n_iters)
+    return state + (cost,)
+
+
+def optimize_essential_graph(m, loop_edges, corrected, fix_kf,
+                             fix_scale: bool = False, min_covis_weight=100,
+                             n_iters: int = 20):
+    """Host-side graph assembly + device solve over the map `m`
+    (ref: OptimizeEssentialGraph Optimizer.cc:2347 edge selection:
+    loop edges + spanning tree + covis weight >= 100).
+
+    loop_edges: [(kf_a, kf_b, (s, R, t) Sim3 b<-a measured)]
+    corrected: {kf: (s, R, t)} corrected Scw to seed (and to define the
+    relative measurements on the propagated side); others seed from their
+    current pose with s=1.
+    Writes corrected poses back into the map, rescaling translation by 1/s
+    (ref :2610-2635) and returns the per-KF Sim3 for map-point correction.
+    """
+    kfs = list(m.valid_kf_ids())
+    idx = {int(k): i for i, k in enumerate(kfs)}
+    K = len(kfs)
+    s0 = np.ones(K)
+    R0 = np.zeros((K, 3, 3))
+    t0 = np.zeros((K, 3))
+    for k in kfs:
+        i = idx[int(k)]
+        if int(k) in corrected:
+            s0[i], R0[i], t0[i] = corrected[int(k)]
+        else:
+            R0[i] = m.kf_R[k]
+            t0[i] = m.kf_t[k]
+    # non-corrected measurements come from the PRE-correction poses
+    def rel(ka, kb):
+        """S_b<-a from current (uncorrected) map poses, scale 1."""
+        Ra, ta = m.kf_R[ka], m.kf_t[ka]
+        Rb, tb = m.kf_R[kb], m.kf_t[kb]
+        Rba = Rb @ Ra.T
+        tba = tb - Rba @ ta
+        return 1.0, Rba, tba
+
+    ei, ej, sm, Rm, tm, ew = [], [], [], [], [], []
+    seen = set()
+
+    def add_edge(ka, kb, meas, w=1.0):
+        key = (min(ka, kb), max(ka, kb))
+        if key in seen or ka == kb:
+            return
+        seen.add(key)
+        ei.append(idx[ka])
+        ej.append(idx[kb])
+        sm.append(meas[0])
+        Rm.append(meas[1])
+        tm.append(meas[2])
+        ew.append(w)
+
+    for (ka, kb, meas) in loop_edges:
+        if ka in idx and kb in idx:
+            add_edge(int(ka), int(kb), meas, w=1.0)
+    for k in kfs:
+        k = int(k)
+        parent = int(m.kf_parent[k])
+        if parent >= 0 and parent in idx:
+            add_edge(k, parent, rel(k, parent))
+        for o, w in m.covis[k].items():
+            if w >= min_covis_weight and int(o) in idx:
+                add_edge(k, int(o), rel(k, int(o)))
+    if not ei:
+        return {}
+    fixed = np.zeros(K, bool)
+    if fix_kf in idx:
+        fixed[idx[fix_kf]] = True
+    sf, Rf, tf, cost = pose_graph_solve(
+        jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
+        jnp.asarray(np.array(ei, np.int32)), jnp.asarray(np.array(ej, np.int32)),
+        jnp.asarray(np.array(sm)), jnp.asarray(np.stack(Rm)),
+        jnp.asarray(np.stack(tm)), jnp.asarray(np.array(ew)),
+        jnp.asarray(fixed), n_iters=n_iters, fix_scale=fix_scale,
+    )
+    sf = np.asarray(sf)
+    Rf = np.asarray(Rf)
+    tf = np.asarray(tf)
+    out = {}
+    for k in kfs:
+        i = idx[int(k)]
+        out[int(k)] = (float(sf[i]), Rf[i], tf[i])
+        m.kf_R[k] = Rf[i]
+        m.kf_t[k] = tf[i] / sf[i]   # [R|t/s] (ref Optimizer.cc:2621)
+    return out
