@@ -18,6 +18,7 @@ class TrackingConfig:
     reloc_radius: float = 10.0
     # inlier thresholds
     min_matches_init: int = 100          # Tracking.cc:1508 (mono init)
+    min_stereo_init_features: int = 500  # Tracking.cc:1354 stereo init
     min_inliers_motion: int = 10
     min_matches_motion: int = 20
     min_inliers_local: int = 30          # TrackLocalMap gate (Tracking.cc:2060)
@@ -26,6 +27,7 @@ class TrackingConfig:
     min_frames_between_kf: int = 0
     kf_ref_ratio: float = 0.9            # mono thRefRatio (Tracking.cc:2180)
     min_kf_inliers: int = 15
+    time_recently_lost: float = 5.0      # ref Tracking.cc time_recently_lost
     # matcher ratios (ORBmatcher ctor args across call sites)
     nn_ratio_init: float = 0.9
     nn_ratio_ref_kf: float = 0.7
@@ -44,10 +46,52 @@ class MappingConfig:
 
 
 @dataclass
+class InertialConfig:
+    """IMU init schedule + inertial BA windows (ref: LocalMapping.cc:162-221
+    init/VIBA1/VIBA2 state machine, Optimizer.cc:4574 LocalInertialBA)."""
+
+    init_min_kfs: int = 6
+    init_min_span: float = 1.0           # s of KF history before first init
+    viba1_time: float = 5.0              # ref LocalMapping.cc:180 mTinit>5
+    viba2_time: float = 15.0             # ref :195
+    local_window: int = 10               # temporal window Nd (ref maxOpt=10)
+    prior_g1: float = 1e2                # init priors (ref :1244 1e2/1e10)
+    prior_a1: float = 1e10
+    prior_g2: float = 1.0                # VIBA1 priors (ref :186 1,1e5)
+    prior_a2: float = 1e5
+    reintegrate_bias_th: float = 0.01    # re-preintegrate when bias moved
+    scale_refine_until: float = 75.0     # mono ScaleRefinement window (ref
+                                         # LocalMapping.cc:208 25..75s)
+    scale_refine_period: float = 1.5     # min seconds between refinements
+
+
+@dataclass
+class LoopConfig:
+    """Loop-closing thresholds (ref: LoopClosing.cc:560-570 nBoWMatches=20,
+    nBoWInliers=15, nSim3Inliers=20, nProjMatches=50; map maturity >=12 KFs
+    :276-295; essential-graph covis weight >=100 Optimizer.cc:2376)."""
+
+    min_kfs: int = 12
+    n_candidates: int = 3
+    min_bow_matches: int = 20
+    min_ransac_inliers: int = 15
+    min_sim3_inliers: int = 20
+    min_proj_matches: int = 50
+    nn_ratio: float = 0.75
+    proj_radius: float = 8.0
+    ransac_hypotheses: int = 256
+    essential_min_weight: int = 100
+    run_gba: bool = True
+    gba_max_kfs: int = 200               # ref LoopClosing.cc:1237
+
+
+@dataclass
 class SlamConfig:
     orb: OrbConfig = field(default_factory=OrbConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     mapping: MappingConfig = field(default_factory=MappingConfig)
+    inertial: InertialConfig = field(default_factory=InertialConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
     # stereo / rgbd
     th_depth: float = 35.0               # close/far stereo point gate (b x 35)
     depth_map_factor: float = 1.0

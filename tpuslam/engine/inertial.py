@@ -1,0 +1,388 @@
+"""Inertial engine glue: sample buffering, bucketed preintegration, IMU
+initialization, and the inertial local/full BA drivers.
+
+Replaces the reference's IMU plumbing spread across Tracking
+(GrabImuData/PreintegrateIMU src/Tracking.cc:546-667, PredictStateIMU :669)
+and LocalMapping (InitializeIMU :1213-1394, the VIBA1/VIBA2 schedule
+:180-205, LocalInertialBA dispatch :149) — re-shaped so every device call
+has static (bucketed) shapes and the whole chain solve is one jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..imu.init import inertial_init_solve
+from ..imu.preintegration import (
+    ImuCalib, information_from_cov, preintegrate,
+)
+from ..solve.ba import build_obs_pairs
+from ..solve.inertial_ba import vi_ba_solve
+from ..utils.pad import bucket, pad_to
+
+
+def preintegrate_window(samples, t0: float, t1: float, bg, ba,
+                        calib: ImuCalib):
+    """Preintegrate samples (list/array of [t, wx..wz, ax..az]) covering
+    (t0, t1]. Sample counts are padded to buckets of 64 so the jitted scan
+    is reused across frames. Returns (pre_dict, (w, a, dt) raw arrays)."""
+    s = np.asarray(samples, np.float64).reshape(-1, 7)
+    sel = (s[:, 0] > t0) & (s[:, 0] <= t1 + 1e-12)
+    s = s[sel]
+    if len(s) == 0:
+        w = np.zeros((0, 3))
+        a = np.zeros((0, 3))
+        dt = np.zeros(0)
+    else:
+        w = s[:, 1:4]
+        a = s[:, 4:7]
+        ts = s[:, 0]
+        dt = np.diff(np.concatenate([[t0], ts]))
+        # stretch the last sample to cover up to t1 (ref Tracking.cc:612
+        # boundary handling)
+        tail = t1 - ts[-1]
+        if tail > 1e-9:
+            w = np.concatenate([w, w[-1:]])
+            a = np.concatenate([a, a[-1:]])
+            dt = np.concatenate([dt, [tail]])
+    nb = max(bucket(len(dt), 64), 64)
+    wp = pad_to(w.astype(np.float32), nb)
+    ap = pad_to(a.astype(np.float32), nb)
+    dtp = pad_to(dt.astype(np.float32), nb)
+    ng2, na2, wg2, wa2 = calib.discrete_cov()
+    pre = preintegrate(
+        jnp.asarray(wp), jnp.asarray(ap), jnp.asarray(dtp),
+        jnp.asarray(np.asarray(bg, np.float32)),
+        jnp.asarray(np.asarray(ba, np.float32)),
+        ng2, na2, wg2, wa2,
+    )
+    return jax.tree.map(np.asarray, pre), (w, a, dt)
+
+
+def reintegrate_kf(m, kf: int, calib: ImuCalib):
+    """Re-run preintegration of the stored raw window at the KF's current
+    bias estimate (ref: Preintegrated::Reintegrate ImuTypes.cc:246)."""
+    raw = m.kf_imu[kf]
+    if raw is None:
+        return
+    w, a, dt = raw
+    nb = max(bucket(len(dt), 64), 64)
+    ng2, na2, wg2, wa2 = calib.discrete_cov()
+    prev = int(m.kf_prev[kf])
+    bg = m.kf_bg[prev] if prev >= 0 else m.kf_bg[kf]
+    ba = m.kf_ba[prev] if prev >= 0 else m.kf_ba[kf]
+    pre = preintegrate(
+        jnp.asarray(pad_to(w.astype(np.float32), nb)),
+        jnp.asarray(pad_to(a.astype(np.float32), nb)),
+        jnp.asarray(pad_to(dt.astype(np.float32), nb)),
+        jnp.asarray(bg.astype(np.float32)), jnp.asarray(ba.astype(np.float32)),
+        ng2, na2, wg2, wa2,
+    )
+    m.kf_preint[kf] = jax.tree.map(np.asarray, pre)
+    m.kf_bg0[kf] = bg
+    m.kf_ba0[kf] = ba
+
+
+def _identity_pre(dtype=np.float32):
+    return dict(
+        dR=np.eye(3, dtype=dtype), dV=np.zeros(3, dtype),
+        dP=np.zeros(3, dtype), JRg=np.zeros((3, 3), dtype),
+        JVg=np.zeros((3, 3), dtype), JVa=np.zeros((3, 3), dtype),
+        JPg=np.zeros((3, 3), dtype), JPa=np.zeros((3, 3), dtype),
+        C=np.eye(15, dtype=dtype), dT=np.asarray(0.0, dtype),
+    )
+
+
+def chain_edges(m, chain, calib: ImuCalib):
+    """Edges (a, b, pre, info9, rw_g, rw_a, bg0, ba0) between consecutive
+    chain KFs that have a stored preintegration."""
+    edges = []
+    _, _, wg2, wa2 = calib.discrete_cov()
+    for a, b in zip(chain[:-1], chain[1:]):
+        pre = m.kf_preint[b]
+        if pre is None and m.kf_imu[b] is not None:
+            reintegrate_kf(m, b, calib)   # rebuilt after chain splicing
+            pre = m.kf_preint[b]
+        if pre is None:
+            continue
+        dT = max(float(pre["dT"]), 1e-6)
+        info9 = np.asarray(
+            information_from_cov(jnp.asarray(pre["C"][:9, :9].astype(np.float64)))
+        )
+        edges.append(dict(
+            a=a, b=b, pre=pre, info9=info9,
+            rw_g=1.0 / (wg2 * dT), rw_a=1.0 / (wa2 * dT),
+            bg0=m.kf_bg0[b].copy(), ba0=m.kf_ba0[b].copy(),
+        ))
+    return edges
+
+
+def run_imu_init(m, calib: ImuCalib, mono: bool = True,
+                 prior_g: float = 1e2, prior_a: float = 1e10,
+                 opt_bias: bool = True):
+    """ref: LocalMapping::InitializeIMU (:1213) — inertial-only optimization
+    with poses fixed, then gravity-align + rescale the map.
+
+    With opt_bias=False this is the periodic ScaleRefinement
+    (ref: LocalMapping::ScaleRefinement :1396 / InertialOptimization
+    (scale, Rwg) overload Optimizer.cc:5808): biases pinned at the values
+    the preintegrations were (re)integrated at, only scale + gravity +
+    velocities move.
+
+    Returns True on success (scale sane)."""
+    chain = m.temporal_chain()
+    if not opt_bias:
+        # refinement treats the preint's integration bias as the truth:
+        # make it the CURRENT estimate first
+        for k in chain:
+            prev = int(m.kf_prev[k])
+            if prev < 0 or m.kf_imu[k] is None:
+                continue
+            if (np.linalg.norm(m.kf_bg[prev] - m.kf_bg0[k]) > 1e-4
+                    or np.linalg.norm(m.kf_ba[prev] - m.kf_ba0[k]) > 1e-3):
+                reintegrate_kf(m, k, calib)
+    edges = chain_edges(m, chain, calib)
+    if len(edges) < 2:
+        return False
+    idx = {k: i for i, k in enumerate(chain)}
+    K = len(chain)
+    Rwb = np.stack([m.kf_R[k].T for k in chain])          # body == camera
+    p = np.stack([m.kf_center(k) for k in chain])
+    pre_stack = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[e["pre"] for e in edges])
+    info9 = jnp.asarray(np.stack([e["info9"] for e in edges]))
+    ea = jnp.asarray(np.array([idx[e["a"]] for e in edges], np.int32))
+    eb = jnp.asarray(np.array([idx[e["b"]] for e in edges], np.int32))
+    v0 = np.stack([m.kf_vel[k] for k in chain]).astype(np.float64)
+    if not opt_bias:
+        prior_g = prior_a = 1e14   # pin bias deltas at zero
+    out = inertial_init_solve(
+        jnp.asarray(Rwb.astype(np.float64)), jnp.asarray(p.astype(np.float64)),
+        jnp.asarray(v0), ea, eb,
+        jax.tree.map(lambda x: x.astype(jnp.float64), pre_stack),
+        info9, prior_g=prior_g, prior_a=prior_a, n_iters=40,
+        mono_scale=mono,
+    )
+    s = float(out["scale"])
+    if not np.isfinite(s) or s < 1e-2 or s > 1e2:
+        return False
+    Rwg = np.asarray(out["Rwg"])
+    vel = np.zeros((m.n_kf, 3))
+    for i, k in enumerate(chain):
+        vel[k] = np.asarray(out["v"][i])
+    m.apply_scaled_rotation(Rwg, s, velocities=vel[: m.n_kf])
+    if opt_bias:
+        bg = np.asarray(out["bg"])
+        ba = np.asarray(out["ba"])
+        m.kf_bg[: m.n_kf] = bg
+        m.kf_ba[: m.n_kf] = ba
+        # preints were integrated at (near-)zero bias: refresh
+        # integration-bias bookkeeping, reintegrate if far
+        for k in chain:
+            if np.linalg.norm(bg - m.kf_bg0[k]) > 0.01 or \
+               np.linalg.norm(ba - m.kf_ba0[k]) > 0.05:
+                reintegrate_kf(m, k, calib)
+    m.imu_initialized = True
+    return True
+
+
+def full_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2,
+                     prior_g: float = 1e2, prior_a: float = 1e10,
+                     n_iters: int = 20, fix_first: bool = True):
+    """ref: Optimizer::FullInertialBA (:420) over the whole temporal chain."""
+    chain = m.temporal_chain()
+    if len(chain) < 3:
+        return
+    window_inertial_ba(
+        m, camera, calib, inv_sigma2, opt_kfs=chain, fixed_kfs=[],
+        prior_g=prior_g, prior_a=prior_a, n_iters=n_iters,
+        fix_first=fix_first)
+
+
+def local_inertial_ba(m, kf: int, camera, calib: ImuCalib, inv_sigma2,
+                      window: int = 10, n_iters: int = 10,
+                      prior_g: float = 0.0, prior_a: float = 0.0):
+    """ref: Optimizer::LocalInertialBA (:4574) — temporal window of the
+    last `window` KFs; the predecessor enters fixed; covisible KFs seeing
+    window points enter as fixed visual-only frontier."""
+    chain = m.temporal_chain()
+    if kf not in chain:
+        return
+    pos = chain.index(kf)
+    opt_kfs = chain[max(0, pos - window + 1): pos + 1]
+    fixed_kfs = chain[max(0, pos - window): max(0, pos - window + 1)]
+    if len(opt_kfs) < 2:
+        return
+    # visual frontier: other KFs observing the window's points
+    wset = set(opt_kfs) | set(fixed_kfs)
+    pts = np.unique(m.kf_mp[opt_kfs])
+    pts = pts[pts >= 0]
+    pts = pts[m.mp_valid[pts]]
+    frontier = set()
+    for j in pts:
+        for okf in m.mp_obs[int(j)]:
+            if okf not in wset:
+                frontier.add(okf)
+    window_inertial_ba(
+        m, camera, calib, inv_sigma2, opt_kfs=opt_kfs,
+        fixed_kfs=fixed_kfs + sorted(frontier), n_iters=n_iters,
+        prior_g=prior_g, prior_a=prior_a,
+        fix_first=(len(fixed_kfs) == 0))
+
+
+def window_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2, opt_kfs,
+                       fixed_kfs, prior_g: float = 0.0, prior_a: float = 0.0,
+                       n_iters: int = 10, fix_first: bool = False,
+                       chi2_prune: float = 5.991):
+    """Shared assembly for full/local inertial BA: visual observations of
+    the window's points + inertial chain edges among opt_kfs (and from a
+    fixed temporal predecessor). All shapes bucketed for jit reuse."""
+    kf_list = list(opt_kfs) + list(fixed_kfs)
+    idx = {k: i for i, k in enumerate(kf_list)}
+    pts = np.unique(m.kf_mp[kf_list])
+    pts = pts[pts >= 0]
+    pts = pts[m.mp_valid[pts]]
+    if len(pts) < 10:
+        return
+    pt_index = {int(j): i for i, j in enumerate(pts)}
+    obs_kf, obs_pt, uvr, inv_s2, obs_ref = [], [], [], [], []
+    for j in pts:
+        for okf, slot in m.mp_obs[int(j)].items():
+            if okf not in idx:
+                continue
+            f = m.kf_feats[okf]
+            obs_kf.append(idx[okf])
+            obs_pt.append(pt_index[int(j)])
+            uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1], 0.0])
+            inv_s2.append(inv_sigma2[f.octave[slot]])
+            obs_ref.append((int(j), okf))
+    O = len(obs_kf)
+    if O < 30:
+        return
+    edges = chain_edges(m, list(opt_kfs), calib)
+    # edge from the fixed TEMPORAL predecessor into the window (the preint
+    # stored at opt_kfs[0] spans kf_prev -> opt_kfs[0]; pairing it with any
+    # other fixed KF would misattach the constraint)
+    pred = int(m.kf_prev[opt_kfs[0]]) if len(opt_kfs) else -1
+    if pred >= 0 and pred in set(fixed_kfs):
+        edges = chain_edges(m, [pred, opt_kfs[0]], calib) + edges
+    K = len(kf_list)
+    E = len(edges)
+    if E == 0:
+        return
+    # --- bucketed padding
+    Ob = bucket(O, 256)
+    pair_a, pair_b = build_obs_pairs(np.array(obs_pt, np.int32), len(pts))
+    Qb = bucket(len(pair_a), 1024)
+    Kb = bucket(K, 8)
+    Eb = bucket(E, 8)
+    Pb = bucket(len(pts), 256)
+    pad_obs = Ob - O
+    obs_kf_a = pad_to(np.array(obs_kf, np.int32), Ob)
+    obs_pt_a = pad_to(np.array(obs_pt, np.int32), Ob)
+    uvr_a = pad_to(np.array(uvr, np.float64), Ob)
+    inv_s2_a = pad_to(np.array(inv_s2, np.float64), Ob)
+    valid_a = np.zeros(Ob, bool)
+    valid_a[:O] = True
+    # padded pairs point at a padded (zero-weight) obs when any exist,
+    # else at obs 0 of a pair that contributes only via w=0... must use a
+    # genuinely dead obs: if no padding obs exists, grow the bucket.
+    if pad_obs == 0:
+        Ob += 256
+        obs_kf_a = pad_to(obs_kf_a, Ob)
+        obs_pt_a = pad_to(obs_pt_a, Ob)
+        uvr_a = pad_to(uvr_a, Ob)
+        inv_s2_a = pad_to(inv_s2_a, Ob)
+        valid_a = pad_to(valid_a, Ob)
+    dead = O  # first padded obs index
+    pair_a_a = np.full(Qb, dead, np.int32)
+    pair_b_a = np.full(Qb, dead, np.int32)
+    pair_a_a[: len(pair_a)] = pair_a
+    pair_b_a[: len(pair_b)] = pair_b
+    Rwb = np.zeros((Kb, 3, 3))
+    Rwb[:, 0, 0] = Rwb[:, 1, 1] = Rwb[:, 2, 2] = 1.0
+    p = np.zeros((Kb, 3))
+    v = np.zeros((Kb, 3))
+    bg = np.zeros((Kb, 3))
+    ba = np.zeros((Kb, 3))
+    for k, i in idx.items():
+        Rwb[i] = m.kf_R[k].T
+        p[i] = m.kf_center(k)
+        v[i] = m.kf_vel[k]
+        bg[i] = m.kf_bg[k]
+        ba[i] = m.kf_ba[k]
+    fixed = np.zeros(Kb, bool)
+    fixed[len(opt_kfs):] = True
+    if fix_first:
+        fixed[0] = True
+    X = pad_to(m.mp_pos[pts], Pb)
+    ident = _identity_pre()
+    pre_list = [e["pre"] for e in edges] + [ident] * (Eb - E)
+    pre_stack = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack([np.asarray(x, np.float64) for x in xs])),
+        *pre_list)
+    info9 = np.zeros((Eb, 9, 9))
+    ea = np.zeros(Eb, np.int32)
+    eb = np.zeros(Eb, np.int32)
+    rw_g = np.zeros(Eb)
+    rw_a = np.zeros(Eb)
+    bg0 = np.zeros((Kb, 3))
+    ba0 = np.zeros((Kb, 3))
+    for i, e in enumerate(edges):
+        info9[i] = e["info9"]
+        ea[i] = idx[e["a"]]
+        eb[i] = idx[e["b"]]
+        rw_g[i] = e["rw_g"]
+        rw_a[i] = e["rw_a"]
+        bg0[idx[e["a"]]] = e["bg0"]
+        ba0[idx[e["a"]]] = e["ba0"]
+    out = vi_ba_solve(
+        jnp.asarray(Rwb), jnp.asarray(p), jnp.asarray(v),
+        jnp.asarray(bg), jnp.asarray(ba), jnp.asarray(X),
+        jnp.asarray(obs_kf_a), jnp.asarray(obs_pt_a), jnp.asarray(uvr_a),
+        jnp.asarray(inv_s2_a), jnp.zeros(Ob, bool), jnp.asarray(valid_a),
+        jnp.asarray(ea), jnp.asarray(eb), pre_stack, jnp.asarray(info9),
+        jnp.asarray(bg0), jnp.asarray(ba0),
+        jnp.asarray(fixed), jnp.asarray(pair_a_a), jnp.asarray(pair_b_a),
+        camera.fx, camera.fy, camera.cx, camera.cy, 0.0,
+        jnp.asarray(rw_g), jnp.asarray(rw_a),
+        prior_g=prior_g, prior_a=prior_a, n_iters=n_iters,
+    )
+    Rf, pf, vf, bgf, baf, Xf = [np.asarray(x) for x in out[:6]]
+    if not np.isfinite(out[6]):
+        return
+    # write back body states -> camera poses
+    for k, i in idx.items():
+        if fixed[i] and not (fix_first and i == 0):
+            # frontier: pose fixed, nothing changed
+            continue
+        m.kf_R[k] = Rf[i].T
+        m.kf_t[k] = -Rf[i].T @ pf[i]
+        m.kf_vel[k] = vf[i]
+    for k in opt_kfs:
+        i = idx[k]
+        m.kf_bg[k] = bgf[i]
+        m.kf_ba[k] = baf[i]
+    m.mp_pos[pts] = Xf[: len(pts)]
+    # chi2 prune of visual outliers
+    from ..solve.ba import ba_chi2
+    chi2, posz = ba_chi2(
+        jnp.asarray(np.stack([Rf[i].T for i in range(Kb)])),
+        jnp.asarray(np.stack([-Rf[i].T @ pf[i] for i in range(Kb)])),
+        jnp.asarray(Xf), jnp.asarray(obs_kf_a), jnp.asarray(obs_pt_a),
+        jnp.asarray(uvr_a), jnp.asarray(inv_s2_a), jnp.zeros(Ob, bool),
+        camera.fx, camera.fy, camera.cx, camera.cy, 0.0,
+    )
+    chi2 = np.asarray(chi2)[:O]
+    posz = np.asarray(posz)[:O]
+    bad = (chi2 > chi2_prune) | ~posz
+    for o in np.nonzero(bad)[0]:
+        j, okf = obs_ref[o]
+        if m.mp_valid[j]:
+            m.erase_observation(j, okf)
+    for j in pts:
+        if m.mp_valid[int(j)]:
+            m.update_point_stats(int(j))

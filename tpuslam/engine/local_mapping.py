@@ -25,13 +25,20 @@ from .config import SlamConfig
 
 
 class LocalMapper:
-    def __init__(self, camera, cfg: SlamConfig, slam_map: SlamMap):
+    def __init__(self, camera, cfg: SlamConfig, slam_map: SlamMap,
+                 imu_calib=None, mono: bool = True, bf: float = 0.0):
         self.camera = camera
         self.cfg = cfg
         self.map = slam_map
+        self.bf = bf
         self.recent_points: list[tuple[int, int]] = []  # (mp, created_at_kf)
         self.sf = slam_map.scale_factors
         self.inv_sigma2 = 1.0 / self.sf ** 2
+        self.imu_calib = imu_calib
+        self.mono = mono
+        self.imu_init_time: float | None = None
+        self.viba_stage = 0  # 0: pre-init, 1: init done, 2: VIBA1, 3: VIBA2
+        self._last_refine = -1e9
 
     # ------------------------------------------------------------------ main
     def on_new_keyframe(self, kf: int):
@@ -45,8 +52,73 @@ class LocalMapper:
         if m.n_kf >= 2:
             created = self._create_new_points(kf)
             self._fuse_neighbors(kf)
-            self._local_ba(kf)
+            if m.imu_initialized:
+                self._local_inertial_ba(kf)
+            else:
+                self._local_ba(kf)
             self._cull_keyframes(kf)
+        if self.imu_calib is not None:
+            self._imu_stage(kf)
+
+    # ---------------------------------------------------------------- inertial
+    def _imu_stage(self, kf: int):
+        """IMU-init state machine (ref: LocalMapping.cc:162-221 —
+        InitializeIMU, then VIBA1 @5s, VIBA2 @15s)."""
+        from .inertial import full_inertial_ba, run_imu_init
+
+        m = self.map
+        icfg = self.cfg.inertial
+        chain = m.temporal_chain()
+        if not chain:
+            return
+        t_now = float(m.kf_time[kf])
+        span = t_now - float(m.kf_time[chain[0]])
+        if not m.imu_initialized:
+            if len(chain) < icfg.init_min_kfs or span < icfg.init_min_span:
+                return
+            if run_imu_init(m, self.imu_calib, mono=self.mono,
+                            prior_g=icfg.prior_g1, prior_a=icfg.prior_a1):
+                full_inertial_ba(
+                    m, self.camera, self.imu_calib, self.inv_sigma2,
+                    prior_g=icfg.prior_g1, prior_a=icfg.prior_a1)
+                self.imu_init_time = t_now
+                self.viba_stage = 1
+            return
+        elapsed = t_now - self.imu_init_time
+        if self.viba_stage == 1 and elapsed > icfg.viba1_time:
+            full_inertial_ba(
+                m, self.camera, self.imu_calib, self.inv_sigma2,
+                prior_g=icfg.prior_g2, prior_a=icfg.prior_a2)
+            m.inertial_ba1 = True
+            self.viba_stage = 2
+        elif self.viba_stage == 2 and elapsed > icfg.viba2_time:
+            full_inertial_ba(
+                m, self.camera, self.imu_calib, self.inv_sigma2,
+                prior_g=0.0, prior_a=0.0)
+            m.inertial_ba2 = True
+            self.viba_stage = 3
+        elif self.mono and self.viba_stage < 3 \
+                and elapsed < icfg.scale_refine_until \
+                and t_now - self._last_refine > icfg.scale_refine_period:
+            # periodic scale/gravity refinement while the estimate is young
+            # (ref: LocalMapping.cc:208-219 — ScaleRefinement fires at
+            # sparse intervals, NOT per KF: per-KF application compounds
+            # any small bias in the inertial-only estimate into the map)
+            self._last_refine = t_now
+            run_imu_init(m, self.imu_calib, mono=True, opt_bias=False)
+
+    def _local_inertial_ba(self, kf: int):
+        from .inertial import local_inertial_ba
+
+        # until VIBA2 declares biases converged, keep zero-mean priors on:
+        # with gentle motion a free accel bias absorbs the scale/gravity
+        # signal (ref keeps priorA=1e5 until the 15s FIBA, LocalMapping.cc)
+        icfg = self.cfg.inertial
+        pg, pa = (0.0, 0.0) if self.map.inertial_ba2 else (
+            icfg.prior_g2, icfg.prior_a2)
+        local_inertial_ba(
+            self.map, kf, self.camera, self.imu_calib, self.inv_sigma2,
+            window=icfg.local_window, prior_g=pg, prior_a=pa)
 
     # ------------------------------------------------------------- culling
     def _cull_recent_points(self, kf: int):
@@ -71,11 +143,27 @@ class LocalMapper:
     def _cull_keyframes(self, kf: int):
         """ref: KeyFrameCulling (LocalMapping.cc:935) — a local KF is
         redundant if >=90% of its points are seen by >=3 other KFs at the
-        same or finer scale."""
+        same or finer scale. Inertial mode protects the temporal chain:
+        the last Nd KFs are never culled and a cull may not open a time
+        gap > 0.5s (ref :949-961 Nd=21 window, :1019 time-gap rules)."""
         m = self.map
+        inertial = self.imu_calib is not None
+        protected: set[int] = set()
+        if inertial:
+            chain = m.temporal_chain()
+            protected = set(chain[-21:])
         for cand in m.best_covisible(kf):
             if cand == 0 or not m.kf_valid[cand]:
                 continue
+            if inertial:
+                if cand in protected or not m.imu_initialized:
+                    continue
+                prev = int(m.kf_prev[cand])
+                nxts = np.nonzero(m.kf_prev[: m.n_kf] == cand)[0]
+                if prev < 0 or len(nxts) != 1:
+                    continue
+                if m.kf_time[nxts[0]] - m.kf_time[prev] > 0.5:
+                    continue
             slots = np.nonzero(m.kf_mp[cand] >= 0)[0]
             if len(slots) == 0:
                 continue
@@ -104,6 +192,26 @@ class LocalMapper:
             m.covis[o].pop(cand, None)
         m.covis[cand] = {}
         m.kf_valid[cand] = False
+        # store pose relative to parent for trajectory recovery
+        # (ref: KeyFrame::SetBadFlag mTcp)
+        parent = int(m.kf_parent[cand])
+        if parent >= 0:
+            Rp, tp = m.kf_R[parent], m.kf_t[parent]
+            Rcp = m.kf_R[cand] @ Rp.T
+            tcp = m.kf_t[cand] - Rcp @ tp
+            m.kf_tcp[cand] = (Rcp, tcp)
+        # splice temporal (inertial) chain: next KF inherits prev
+        nxt = np.nonzero(m.kf_prev[: m.n_kf] == cand)[0]
+        for c in nxt:
+            m.kf_prev[c] = m.kf_prev[cand]
+            m.kf_preint[c] = None  # stale; rebuilt from raw if needed
+            if m.kf_imu[c] is not None and m.kf_imu[cand] is not None:
+                w1, a1, dt1 = m.kf_imu[cand]
+                w2, a2, dt2 = m.kf_imu[c]
+                m.kf_imu[c] = (
+                    np.concatenate([w1, w2]), np.concatenate([a1, a2]),
+                    np.concatenate([dt1, dt2]),
+                )
         # reparent children (spanning tree)
         for c in np.nonzero(m.kf_parent[: m.n_kf] == cand)[0]:
             m.kf_parent[c] = m.kf_parent[cand]
@@ -307,30 +415,34 @@ class LocalMapper:
             if len(window) > 2:
                 fixed[kf_index[window[-2]]] = True
         pt_index = {int(j): i for i, j in enumerate(pts)}
-        obs_kf, obs_pt, uvr, inv_s2, obs_ref = [], [], [], [], []
+        obs_kf, obs_pt, uvr, inv_s2, obs_ref, stereo = [], [], [], [], [], []
         for j in pts:
             for okf, slot in m.mp_obs[int(j)].items():
                 f = m.kf_feats[okf]
                 obs_kf.append(kf_index[okf])
                 obs_pt.append(pt_index[int(j)])
-                uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1], 0.0])
+                ur = f.u_right[slot] if f.u_right is not None else -1.0
+                uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1],
+                            ur if ur >= 0 else 0.0])
+                stereo.append(ur >= 0)
                 inv_s2.append(self.inv_sigma2[f.octave[slot]])
                 obs_ref.append((int(j), okf))
         obs_kf = np.array(obs_kf, np.int32)
         obs_pt = np.array(obs_pt, np.int32)
         uvr = np.array(uvr)
         inv_s2 = np.array(inv_s2)
-        stereo = np.zeros(len(obs_kf), bool)
+        stereo = np.array(stereo, bool)
+        chi2_th = np.where(stereo, 7.815, 5.991)
         # phase 1 (5 it robust), prune, phase 2 (ref :2048,:2121)
         Rf, tf, Xf, chi2, posz = B.ba_solve_np(
             m.kf_R[kf_list], m.kf_t[kf_list], m.mp_pos[pts],
             obs_kf, obs_pt, uvr, inv_s2, stereo, np.ones(len(obs_kf), bool),
-            fixed, cam.fx, cam.fy, cam.cx, cam.cy, 0.0, n_iters=5,
+            fixed, cam.fx, cam.fy, cam.cx, cam.cy, self.bf, n_iters=5,
         )
-        good = (chi2 <= 5.991) & posz
+        good = (chi2 <= chi2_th) & posz
         Rf, tf, Xf, chi2, posz = B.ba_solve_np(
             Rf, tf, Xf, obs_kf, obs_pt, uvr, inv_s2, stereo, good,
-            fixed, cam.fx, cam.fy, cam.cx, cam.cy, 0.0,
+            fixed, cam.fx, cam.fy, cam.cx, cam.cy, self.bf,
             n_iters=self.cfg.mapping.local_ba_iters,
         )
         # write back
@@ -339,7 +451,7 @@ class LocalMapper:
             m.kf_t[kf_list[i]] = tf[i]
         m.mp_pos[pts] = Xf
         # erase observations that remain outliers (ref :2259-2290)
-        bad = (chi2 > 5.991) | ~posz
+        bad = (chi2 > chi2_th) | ~posz
         for o in np.nonzero(bad)[0]:
             j, okf = obs_ref[o]
             if m.mp_valid[j]:

@@ -1,0 +1,287 @@
+"""Loop closing: place recognition -> Sim3 verification -> correction.
+
+Replaces the reference LoopClosing thread (src/LoopClosing.cc): candidate
+detection via the BoW database (NewDetectCommonRegions :263,
+DetectCommonRegionsFromBoW :557 with thresholds nBoWMatches=20,
+nBoWInliers=15, nSim3Inliers=20, nProjMatches=50), loop correction
+(CorrectLoop :1013 — Sim3 propagation to the covisible window, map-point
+correction, fuse, essential-graph optimization), and the GBA stage
+(RunGlobalBundleAdjustment :2430).
+
+Synchronous engine (called per keyframe); the heavy numerics (Sim3 RANSAC,
+essential graph) are the batched device solvers in solve/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..map.store import SlamMap
+from ..ops import match as M
+from ..place import BinaryVocabulary, KeyFrameDatabase
+from ..solve.pose_graph import optimize_essential_graph
+from ..solve.sim3 import optimize_sim3, sim3_ransac
+from .config import SlamConfig
+
+
+class LoopCloser:
+    def __init__(self, camera, cfg: SlamConfig, slam_map: SlamMap,
+                 vocab: BinaryVocabulary, fix_scale: bool = False,
+                 local_mapper=None):
+        self.camera = camera
+        self.cfg = cfg
+        self.map = slam_map
+        self.vocab = vocab
+        self.db = KeyFrameDatabase(vocab)
+        self.fix_scale = fix_scale
+        self.local_mapper = local_mapper
+        self.kf_nodes: dict[int, np.ndarray] = {}
+        self.kf_bow: dict[int, dict] = {}
+        self.loop_edges: list = []      # [(ka, kb, (s, R, t))]
+        self.n_loops_closed = 0
+        self.consistency: dict[int, int] = {}  # cand group anchor -> count
+        self.sf = slam_map.scale_factors
+        self.inv_sigma2 = 1.0 / self.sf ** 2
+        self._rng_key = jax.random.PRNGKey(7)
+
+    # ------------------------------------------------------------------ main
+    def on_new_keyframe(self, kf: int) -> bool:
+        """Returns True if a loop was closed (map rewritten)."""
+        m = self.map
+        f = m.kf_feats[kf]
+        word, node, bow = self.vocab.transform(f.bits, f.valid)
+        self.kf_nodes[kf] = node
+        self.kf_bow[kf] = bow
+        closed = False
+        # need some map maturity (ref :276-295 needs >= 12 KFs; merges with
+        # other Atlas maps are allowed earlier)
+        cur_map = int(m.kf_map_id[kf])
+        n_cur = len(m.valid_kf_ids())
+        exclude = {kf} | set(m.best_covisible(kf))
+        cands = self.db.detect_candidates(
+            bow, lambda k: m.best_covisible(k, 10), exclude,
+            n_best=self.cfg.loop.n_candidates)
+        for cand, _score in cands:
+            if not m.kf_valid[cand]:
+                continue
+            merge = int(m.kf_map_id[cand]) != cur_map
+            if not merge and n_cur < self.cfg.loop.min_kfs:
+                continue
+            if self._try_loop(kf, cand, merge=merge):
+                closed = True
+                break
+        self.db.add(kf, word, bow)
+        return closed
+
+    # ------------------------------------------------------------ detection
+    def _match_bow(self, kf_a: int, kf_b: int):
+        """Node-gated descriptor matching between the MP-bearing features of
+        two KFs (ref: ORBmatcher::SearchByBoW KF-KF :827 — FeatureVector
+        node-aligned brute force)."""
+        m = self.map
+        fa, fb = m.kf_feats[kf_a], m.kf_feats[kf_b]
+        na = self.kf_nodes.get(kf_a)
+        nb = self.kf_nodes.get(kf_b)
+        has_a = m.kf_mp[kf_a] >= 0
+        has_b = m.kf_mp[kf_b] >= 0
+        mask = (has_a & fa.valid)[:, None] & (has_b & fb.valid)[None, :]
+        if na is not None and nb is not None:
+            mask = mask & (na[:, None] == nb[None, :])
+        midx, _ = M.match_padded(
+            fa.bits, fb.bits, mask, max_dist=M.TH_LOW,
+            nn_ratio=self.cfg.loop.nn_ratio,
+            ang_a=fa.angle, ang_b=fb.angle,
+        )
+        ia = np.nonzero(midx >= 0)[0]
+        return ia, midx[ia]
+
+    def _try_loop(self, kf: int, cand: int, merge: bool = False) -> bool:
+        m = self.map
+        lcfg = self.cfg.loop
+        ia, ib = self._match_bow(kf, cand)
+        if len(ia) < lcfg.min_bow_matches:
+            return False
+        mp_c = m.kf_mp[kf, ia]
+        mp_l = m.kf_mp[cand, ib]
+        ok = (mp_c >= 0) & (mp_l >= 0) & m.mp_valid[mp_c] & m.mp_valid[mp_l]
+        ia, ib, mp_c, mp_l = ia[ok], ib[ok], mp_c[ok], mp_l[ok]
+        if len(ia) < lcfg.min_bow_matches:
+            return False
+        # 3D sets in each camera frame
+        Xc = m.mp_pos[mp_c] @ m.kf_R[kf].T + m.kf_t[kf]
+        Xl = m.mp_pos[mp_l] @ m.kf_R[cand].T + m.kf_t[cand]
+        uv_c = m.kf_feats[kf].und_xy[ia]
+        uv_l = m.kf_feats[cand].und_xy[ib]
+        is2_c = self.inv_sigma2[m.kf_feats[kf].octave[ia]]
+        is2_l = self.inv_sigma2[m.kf_feats[cand].octave[ib]]
+        cam = self.camera
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        # S: X_kf = S X_cand  (current <- loop)
+        out = sim3_ransac(
+            jnp.asarray(Xl), jnp.asarray(Xc), jnp.ones(len(ia), bool),
+            jnp.asarray(uv_l), jnp.asarray(uv_c),
+            jnp.asarray(is2_l), jnp.asarray(is2_c),
+            cam.fx, cam.fy, cam.cx, cam.cy, sub,
+            n_hyp=lcfg.ransac_hypotheses, fix_scale=self.fix_scale,
+        )
+        if int(out["n_inliers"]) < lcfg.min_ransac_inliers:
+            return False
+        s, R, t, inl, n_inl = optimize_sim3(
+            out["s"], out["R"], out["t"],
+            jnp.asarray(Xl), jnp.asarray(Xc), jnp.ones(len(ia), bool),
+            jnp.asarray(uv_l), jnp.asarray(uv_c),
+            jnp.asarray(is2_l), jnp.asarray(is2_c),
+            cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=self.fix_scale,
+        )
+        if int(n_inl) < lcfg.min_sim3_inliers:
+            return False
+        s = float(s)
+        R = np.asarray(R)
+        t = np.asarray(t)
+        # guided projection: loop-side local map points into current KF
+        n_proj, proj_pairs = self._search_by_projection(kf, cand, s, R, t)
+        if n_proj < lcfg.min_proj_matches:
+            return False
+        inl_np = np.asarray(inl)
+        match_pairs = list(zip(mp_c[inl_np], mp_l[inl_np])) + proj_pairs
+        self._correct_loop(kf, cand, s, R, t, match_pairs, merge=merge)
+        return True
+
+    def _search_by_projection(self, kf: int, cand: int, s, R, t):
+        """Project the loop side's local map into the current KF through the
+        candidate Sim3 (ref: SearchByProjection Sim3 variant
+        ORBmatcher.cc:2183). Returns (n_matches, [(mp_cur, mp_loop)])."""
+        m = self.map
+        cam = self.camera
+        window = [cand] + m.best_covisible(cand, 10)
+        pts = np.unique(m.kf_mp[window])
+        pts = pts[pts >= 0]
+        pts = pts[m.mp_valid[pts]]
+        if len(pts) == 0:
+            return 0, []
+        # X in current camera: S * (T_lw X_w) with T_lw = cand pose
+        Xl = m.mp_pos[pts] @ m.kf_R[cand].T + m.kf_t[cand]
+        Xc = s * Xl @ R.T + t
+        z = Xc[:, 2]
+        uv = np.asarray(cam.project(jnp.asarray(Xc)))
+        in_img = (z > 0.05) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+        pts, uv = pts[in_img], uv[in_img]
+        if len(pts) == 0:
+            return 0, []
+        f = m.kf_feats[kf]
+        dist = np.linalg.norm(Xc[in_img], axis=1)
+        pred = m.predict_scale(dist, pts)
+        mask = (
+            M.window_mask_np(uv, f.xy, self.cfg.loop.proj_radius * self.sf[pred])
+            & f.valid[None, :]
+        )
+        midx, _ = M.match_padded(
+            m.mp_bits[pts], f.bits, mask, max_dist=M.TH_HIGH,
+        )
+        ok = midx >= 0
+        pairs = []
+        for a in np.nonzero(ok)[0]:
+            cur_mp = int(m.kf_mp[kf, midx[a]])
+            if cur_mp >= 0 and m.mp_valid[cur_mp]:
+                pairs.append((cur_mp, int(pts[a])))
+        return int(ok.sum()), pairs
+
+    # ------------------------------------------------------------ correction
+    def _correct_loop(self, kf: int, cand: int, s, R, t, match_pairs,
+                      merge: bool = False):
+        """ref: CorrectLoop (LoopClosing.cc:1013); with merge=True this is
+        the Atlas map merge (MergeLocal :1252): the WHOLE current map is
+        transported onto the matched map's frame and relabeled."""
+        m = self.map
+        # corrected Scw of current KF: S_c<-l o T_lw
+        s_cw = s
+        R_cw = R @ m.kf_R[cand]
+        t_cw = s * (m.kf_t[cand] @ R.T) + t
+        if merge:
+            window = list(m.valid_kf_ids(map_id=int(m.kf_map_id[kf])))
+        else:
+            window = [kf] + m.best_covisible(kf)
+        corrected = {}
+        old_pose = {k: (m.kf_R[k].copy(), m.kf_t[k].copy()) for k in window}
+        Rk_c, tk_c = {}, {}
+        Rc, tc = m.kf_R[kf], m.kf_t[kf]
+        for k in window:
+            # T_k<-c from current (drifted) poses; corrected S_kw = T_kc o S_cw
+            Rkc = m.kf_R[k] @ Rc.T
+            tkc = m.kf_t[k] - Rkc @ tc
+            s_k = s_cw
+            R_k = Rkc @ R_cw
+            t_k = Rkc @ t_cw + tkc
+            corrected[k] = (s_k, R_k, t_k)
+        # correct window map points: X' = S_kw_corr^-1 (T_kw_old X)
+        done = set()
+        wset = set(window)
+        for k in window:
+            sk, Rk, tk = corrected[k]
+            Ro, to = old_pose[k]
+            for mp in np.unique(m.kf_mp[k]):
+                if mp < 0 or mp in done or not m.mp_valid[mp]:
+                    continue
+                done.add(int(mp))
+                Xc_old = Ro @ m.mp_pos[mp] + to
+                m.mp_pos[mp] = (1.0 / sk) * (Rk.T @ (Xc_old - tk))
+        # write corrected poses (translation rescaled: Tcw = [R | t/s])
+        for k in window:
+            sk, Rk, tk = corrected[k]
+            m.kf_R[k] = Rk
+            m.kf_t[k] = tk / sk
+            m.kf_vel[k] = m.kf_vel[k] / sk
+        # fuse matched duplicates: loop MP replaces current MP (ref :1156)
+        for cur_mp, loop_mp in match_pairs:
+            cur_mp = m.resolve_replaced(int(cur_mp))
+            loop_mp = m.resolve_replaced(int(loop_mp))
+            if cur_mp != loop_mp and cur_mp >= 0 and loop_mp >= 0 \
+               and m.mp_valid[cur_mp] and m.mp_valid[loop_mp]:
+                m.replace_point(cur_mp, loop_mp)
+        # fuse loop-side points into the (corrected) window KFs
+        if self.local_mapper is not None:
+            loop_window = [cand] + m.best_covisible(cand, 10)
+            loop_pts = np.unique(m.kf_mp[loop_window])
+            loop_pts = loop_pts[loop_pts >= 0]
+            for k in window:
+                self.local_mapper._fuse_into(k, loop_pts)
+        for k in window:
+            m.update_connections(k)
+        if merge:
+            # the young map joins the matched map (ref MergeLocal moves
+            # KFs/MPs into the merge map and updates Atlas)
+            m.relabel_map(int(m.kf_map_id[kf]), int(m.kf_map_id[cand]))
+        # essential graph with the new loop edge
+        meas = (s, R, t)  # S_kf<-cand
+        self.loop_edges.append((cand, kf, meas))
+        pre_R = {int(k): m.kf_R[k].copy() for k in m.valid_kf_ids()}
+        pre_t = {int(k): m.kf_t[k].copy() for k in m.valid_kf_ids()}
+        edges = [(a, b, mm) for (a, b, mm) in self.loop_edges]
+        out = optimize_essential_graph(
+            m, edges, corrected, fix_kf=cand, fix_scale=self.fix_scale,
+            min_covis_weight=self.cfg.loop.essential_min_weight,
+            old_poses=old_pose,
+        )
+        # correct remaining map points through their anchor KF's motion
+        done2 = set(done)
+        for j in m.valid_mp_ids():
+            j = int(j)
+            if j in done2 or not m.mp_obs[j]:
+                continue
+            anchor = int(m.mp_first_kf[j])
+            if anchor not in m.mp_obs[j]:
+                anchor = next(iter(m.mp_obs[j]))
+            if anchor not in out:
+                continue
+            s_n, R_n, t_n = out[anchor]
+            Ro, to = pre_R[anchor], pre_t[anchor]
+            Xc_old = Ro @ m.mp_pos[j] + to
+            m.mp_pos[j] = (1.0 / s_n) * (R_n.T @ (Xc_old - t_n))
+        for j in m.valid_mp_ids():
+            m.update_point_stats(int(j))
+        m.map_version += 1
+        self.n_loops_closed += 1

@@ -30,22 +30,65 @@ class Sensor(enum.Enum):
 
 class System:
     def __init__(self, camera, cfg: SlamConfig | None = None,
-                 sensor: Sensor = Sensor.MONOCULAR):
+                 sensor: Sensor = Sensor.MONOCULAR, imu_calib=None,
+                 vocab=None, bf: float = 0.0):
+        """vocab: a place.BinaryVocabulary; enables loop closing and BoW
+        relocalization (ref: System ctor loads ORBvoc, System.cc:85).
+        bf: fx * baseline in pixels (ref Camera.bf) for stereo/RGB-D."""
         self.cfg = cfg or SlamConfig()
         self.camera = camera
         self.sensor = sensor
+        use_imu = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
+        if use_imu and imu_calib is None:
+            raise ValueError("inertial sensor requires imu_calib")
         self.map = SlamMap(self.cfg.orb.n_features)
-        self.local_mapper = LocalMapper(camera, self.cfg, self.map)
+        mono = sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)
+        self.local_mapper = LocalMapper(
+            camera, self.cfg, self.map,
+            imu_calib=imu_calib if use_imu else None, mono=mono, bf=bf,
+        )
+        self.loop_closer = None
+        if vocab is not None:
+            from .loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(
+                camera, self.cfg, self.map, vocab,
+                fix_scale=not mono or use_imu,
+                local_mapper=self.local_mapper,
+            )
         self.tracker = Tracker(
             camera, self.cfg, self.map, self.local_mapper,
-            sensor="mono" if sensor == Sensor.MONOCULAR else "stereo",
+            sensor="mono" if mono else "stereo",
+            imu_calib=imu_calib if use_imu else None,
+            loop_closer=self.loop_closer, bf=bf,
         )
 
     # ------------------------------------------------------------------ API
-    def track_monocular(self, img, timestamp: float):
+    def track_monocular(self, img, timestamp: float, imu=None):
         """Returns Tcw 4x4 (or None before initialization)
-        (ref: System::TrackMonocular System.cc:352)."""
-        frame = self.tracker.track(img, timestamp)
+        (ref: System::TrackMonocular System.cc:352; imu batch per frame as
+        in the mono-inertial drivers src/main_vi.cpp:174)."""
+        frame = self.tracker.track(img, timestamp, imu=imu)
+        if frame.R is None:
+            return None
+        T = np.eye(4)
+        T[:3, :3] = frame.R
+        T[:3, 3] = frame.t
+        return T
+
+    def track_stereo(self, img_left, img_right, timestamp: float, imu=None):
+        """ref: System::TrackStereo (System.cc:228)."""
+        frame = self.tracker.track(img_left, timestamp, imu=imu,
+                                   img_right=img_right)
+        if frame.R is None:
+            return None
+        T = np.eye(4)
+        T[:3, :3] = frame.R
+        T[:3, 3] = frame.t
+        return T
+
+    def track_rgbd(self, img, depth, timestamp: float, imu=None):
+        """ref: System::TrackRGBD (System.cc:294)."""
+        frame = self.tracker.track(img, timestamp, imu=imu, depth=depth)
         if frame.R is None:
             return None
         T = np.eye(4)
@@ -60,12 +103,36 @@ class System:
         pass  # synchronous engine: nothing to join
 
     # ------------------------------------------------------------ trajectory
+    def _ref_pose(self, ref_kf: int):
+        """Current world pose of a (possibly culled) reference KF: walk the
+        spanning tree composing stored cull-time relatives
+        (ref: System::SaveTrajectoryTUM System.cc:525-540 Trw chain)."""
+        m = self.map
+        Ra = np.eye(3)
+        ta = np.zeros(3)
+        k = ref_kf
+        while k >= 0 and not m.kf_valid[k] and m.kf_tcp[k] is not None:
+            Rcp, tcp = m.kf_tcp[k]
+            ta = Ra @ tcp + ta          # T_acc = T_acc * Tcp
+            Ra = Ra @ Rcp
+            k = int(m.kf_parent[k])
+        if k < 0 or not m.kf_valid[k]:
+            return None
+        return Ra @ m.kf_R[k], Ra @ m.kf_t[k] + ta
+
     def trajectory_tum(self):
         """[(t, x, y, z, qx, qy, qz, qw)] camera-to-world per tracked frame
-        (ref format: System::SaveTrajectoryTUM System.cc:514)."""
+        (ref format: System::SaveTrajectoryTUM System.cc:514). Relative
+        poses are composed with the reference KF's CURRENT pose."""
         rows = []
-        for (t, R, tr, ref_kf, lost) in self.tracker.trajectory:
-            Rwc, twc = lie.se3_inverse(jnp.asarray(R), jnp.asarray(tr))
+        for (t, Rcr, tcr, ref_kf, lost) in self.tracker.trajectory:
+            ref = self._ref_pose(ref_kf)
+            if ref is None:
+                continue
+            Rr, tr_ = ref
+            R = Rcr @ Rr
+            tt = Rcr @ tr_ + tcr
+            Rwc, twc = lie.se3_inverse(jnp.asarray(R), jnp.asarray(tt))
             q = np.asarray(lie.rot_to_quat(Rwc))
             p = np.asarray(twc)
             rows.append((t, p[0], p[1], p[2], q[0], q[1], q[2], q[3]))

@@ -46,6 +46,7 @@ class Frame:
     R: np.ndarray | None = None  # Tcw
     t: np.ndarray | None = None
     mp: np.ndarray | None = None  # [N] mp id per feature (-1 none)
+    v: np.ndarray | None = None   # world velocity of the body (inertial)
 
     def center(self):
         return -self.R.T @ self.t
@@ -53,24 +54,36 @@ class Frame:
 
 class Tracker:
     def __init__(self, camera, cfg: SlamConfig, slam_map: SlamMap,
-                 local_mapper=None, sensor="mono"):
+                 local_mapper=None, sensor="mono", imu_calib=None,
+                 loop_closer=None, bf: float = 0.0):
         self.camera = camera
         self.cfg = cfg
         self.map = slam_map
-        self.frontend = Frontend(camera, cfg.orb)
+        self.bf = bf
+        self.frontend = Frontend(camera, cfg.orb, bf=bf)
         self.local_mapper = local_mapper
+        self.loop_closer = loop_closer
         self.sensor = sensor
         self.state = State.NO_IMAGES_YET
         self.velocity = None  # [4x4-equiv (R, t)] of Tcl (cur from last)
         self.last_frame: Frame | None = None
         self.init_frame: Frame | None = None
         self.ref_kf = -1
+        self.last_kf = -1
         self.frames_since_kf = 0
         self.frame_id = 0
         self.trajectory = []  # (time, R, t, ref_kf, lost)
         self.n_inliers = 0
         self.sf = self.map.scale_factors
         self.inv_sigma2 = (1.0 / self.sf ** 2).astype(np.float64)
+        # --- inertial state (ref: Tracking's IMU members, Tracking.h)
+        self.imu_calib = imu_calib
+        self.use_imu = imu_calib is not None
+        self.imu_since_kf: list = []   # raw samples [t,w,a] since last KF
+        self.bg = np.zeros(3)
+        self.ba = np.zeros(3)
+        self.map_version_seen = 0
+        self.lost_since = 0.0
 
     # ------------------------------------------------------------------ util
     def _project(self, R, t, X):
@@ -80,7 +93,9 @@ class Tracker:
 
     def _pose_opt(self, R0, t0, frame: Frame, mp_ids):
         """Run motion-only optimization over the frame's current matches.
-        Shapes are bucketed so the jit program is reused across frames."""
+        Shapes are bucketed so the jit program is reused across frames.
+        Stereo features (u_right >= 0) contribute 3-dim residuals
+        (ref: PoseOptimization stereo edges Optimizer.cc:975)."""
         from ..utils.pad import bucket, pad_to
 
         sel = np.nonzero(mp_ids >= 0)[0]
@@ -90,34 +105,87 @@ class Tracker:
         nb = bucket(n, 256)
         X = pad_to(self.map.mp_pos[mp_ids[sel]], nb)
         und = frame.feats.und_xy[sel]
-        uvr = pad_to(np.concatenate([und, np.zeros((n, 1))], 1), nb)
+        if frame.feats.u_right is not None:
+            ur = frame.feats.u_right[sel]
+            stereo = ur >= 0
+        else:
+            ur = np.zeros(n)
+            stereo = np.zeros(n, bool)
+        uvr = pad_to(np.concatenate([und, ur[:, None]], 1), nb)
+        st = pad_to(stereo, nb, False)
         inv_s2 = pad_to(self.inv_sigma2[frame.feats.octave[sel]], nb)
         valid = np.zeros(nb, bool)
         valid[:n] = True
         Rf, tf, inl, chi2 = pose_optimize(
             jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(X), jnp.asarray(uvr),
-            jnp.asarray(inv_s2), jnp.zeros(nb, bool), jnp.asarray(valid),
-            self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy, 0.0,
+            jnp.asarray(inv_s2), jnp.asarray(st), jnp.asarray(valid),
+            self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
+            self.bf,
         )
         return np.asarray(Rf), np.asarray(tf), np.asarray(inl)[:n], sel
 
     # ------------------------------------------------------------------ main
-    def track(self, img, time: float):
-        feats = self.frontend.process(img)
+    def track(self, img, time: float, imu=None, img_right=None, depth=None):
+        """imu: [N,7] samples (t, wx, wy, wz, ax, ay, az) since the last
+        frame (ref: System::TrackMonocular vImuMeas + GrabImuData).
+        img_right: right image (stereo); depth: depth map (RGB-D)."""
+        if self.use_imu and imu is not None and len(imu):
+            self.imu_since_kf.extend(np.asarray(imu, np.float64).tolist())
+        if img_right is not None:
+            feats = self.frontend.process_stereo(img, img_right)
+        elif depth is not None:
+            feats = self.frontend.process_rgbd(
+                img, depth, self.cfg.depth_map_factor)
+        else:
+            feats = self.frontend.process(img)
         frame = Frame(feats, time, self.frame_id)
         self.frame_id += 1
         if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
-            self._initialize_mono(frame)
+            if self.sensor == "mono":
+                self._initialize_mono(frame)
+            else:
+                self._initialize_stereo(frame)
         else:
             self._track_frame(frame)
-        # trajectory log
-        if frame.R is not None:
+        # trajectory log: store pose RELATIVE to the reference KF so later
+        # map updates (BA, gravity-align/rescale, loop correction) apply to
+        # logged frames too (ref: Tracking.cc:1327-1347 mlRelativeFramePoses)
+        if frame.R is not None and self.ref_kf >= 0:
+            m = self.map
+            Rr, tr_ = m.kf_R[self.ref_kf], m.kf_t[self.ref_kf]
+            Rcr = frame.R @ Rr.T
+            tcr = frame.t - Rcr @ tr_
             self.trajectory.append(
-                (time, frame.R.copy(), frame.t.copy(), self.ref_kf,
-                 self.state != State.OK)
+                (time, Rcr, tcr, self.ref_kf, self.state != State.OK)
             )
         self.last_frame = frame
         return frame
+
+    # ---------------------------------------------------------------- inertial
+    def _predict_imu(self, frame: Frame):
+        """IMU dead-reckoning from the last frame's body state
+        (ref: Tracking::PredictStateIMU Tracking.cc:669). Returns
+        (R0, t0, v_pred) camera pose prediction or None."""
+        from ..imu.preintegration import predict_state
+        from .inertial import preintegrate_window
+
+        last = self.last_frame
+        if (not self.use_imu or not self.map.imu_initialized
+                or last is None or last.R is None or last.v is None):
+            return None
+        pre, _ = preintegrate_window(
+            self.imu_since_kf, last.time, frame.time, self.bg, self.ba,
+            self.imu_calib)
+        if float(pre["dT"]) <= 0:
+            return None
+        Rwb = last.R.T.astype(np.float64)
+        p = last.center().astype(np.float64)
+        Rwb2, p2, v2 = predict_state(
+            jnp.asarray(Rwb), jnp.asarray(p), jnp.asarray(last.v),
+            jax.tree.map(lambda x: jnp.asarray(np.asarray(x, np.float64)), pre))
+        Rwb2 = np.asarray(Rwb2)
+        p2 = np.asarray(p2)
+        return Rwb2.T, -Rwb2.T @ p2, np.asarray(v2)
 
     # ---------------------------------------------------------------- init
     def _initialize_mono(self, frame: Frame):
@@ -129,13 +197,13 @@ class Tracker:
                 self.state = State.NOT_INITIALIZED
             return
         ref = self.init_frame
-        # SearchForInitialization: window 100, level-0 only, ratio 0.9
-        lvl0_a = ref.feats.octave == 0
-        lvl0_b = frame.feats.octave == 0
+        # SearchForInitialization: window 100, ratio 0.9. (The reference
+        # restricts to level 0 but extracts 2-5x features at init,
+        # Tracking.cc:206-212; with a single budget all levels match.)
         mask = (
             M.window_mask_np(ref.feats.xy, frame.feats.xy, cfg.init_window)
-            & (ref.feats.valid & lvl0_a)[:, None]
-            & (frame.feats.valid & lvl0_b)[None, :]
+            & ref.feats.valid[:, None]
+            & frame.feats.valid[None, :]
         )
         midx, _ = M.match_padded(
             ref.feats.bits, frame.feats.bits, mask,
@@ -183,15 +251,29 @@ class Tracker:
         m.update_connections(kf1)
         # full BA on the initial map (ref: GlobalBundleAdjustemnt(20))
         self._initial_ba(kf0, kf1)
+        if self.use_imu:
+            from .inertial import preintegrate_window
+            m.kf_prev[kf1] = kf0
+            pre, raw = preintegrate_window(
+                self.imu_since_kf, ref.time, frame.time, self.bg, self.ba,
+                self.imu_calib)
+            m.kf_preint[kf1] = pre
+            m.kf_imu[kf1] = raw
+            self.imu_since_kf = [s for s in self.imu_since_kf
+                                 if s[0] > frame.time - 1e-12]
         frame.R = m.kf_R[kf1].copy()
         frame.t = m.kf_t[kf1].copy()
         self.ref_kf = kf1
+        self.last_kf = kf1
         self.velocity = None
         self.state = State.OK
         self.frames_since_kf = 0
         if self.local_mapper is not None:
             self.local_mapper.on_new_keyframe(kf0)
             self.local_mapper.on_new_keyframe(kf1)
+        if self.loop_closer is not None:
+            self.loop_closer.on_new_keyframe(kf0)
+            self.loop_closer.on_new_keyframe(kf1)
 
     def _initial_ba(self, kf0, kf1):
         m = self.map
@@ -224,21 +306,100 @@ class Tracker:
         for j in mp_ids:
             m.update_point_stats(int(j))
 
+    # ------------------------------------------------------------ stereo init
+    def _initialize_stereo(self, frame: Frame):
+        """ref: StereoInitialization (Tracking.cc:1351) — first frame with
+        enough features becomes a KF; map points spring from stereo depth."""
+        if frame.feats.valid.sum() < self.cfg.tracking.min_stereo_init_features:
+            return
+        m = self.map
+        frame.R = np.eye(3)
+        frame.t = np.zeros(3)
+        frame.mp = np.full(frame.feats.n, -1, np.int32)
+        kf = m.add_keyframe(frame.R, frame.t, frame.feats, frame.time,
+                            frame.frame_id)
+        n_pts = self._spawn_stereo_points(kf, frame, max_new=10 ** 9)
+        if n_pts < 100:
+            m.kf_valid[kf] = False
+            return
+        m.update_connections(kf)
+        self.ref_kf = kf
+        self.last_kf = kf
+        self.velocity = None
+        self.state = State.OK
+        self.frames_since_kf = 0
+        if self.use_imu:
+            m.kf_prev[kf] = -1
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.on_new_keyframe(kf)
+
+    def _spawn_stereo_points(self, kf: int, frame: Frame, max_new=100):
+        """Create map points from stereo/RGB-D depth for unmatched features
+        (ref: CreateNewKeyFrame close-point spawning Tracking.cc:2270-2330).
+        Points closer than th_depth x baseline first; up to max_new."""
+        f = frame.feats
+        if f.depth is None:
+            return 0
+        m = self.map
+        cam = self.camera
+        free = (frame.mp < 0) & f.valid & (f.depth > 0)
+        order = np.argsort(np.where(free, f.depth, np.inf))
+        th = self.cfg.th_depth * (self.bf / cam.fx)
+        n = 0
+        Rwc = frame.R.T
+        Ow = -Rwc @ frame.t
+        for i in order:
+            if not free[i]:
+                break
+            z = f.depth[i]
+            if z <= 0 or (n >= max_new and z > th):
+                break
+            u, v = f.und_xy[i]
+            Xc = np.array([(u - cam.cx) / cam.fx * z,
+                           (v - cam.cy) / cam.fy * z, z])
+            Xw = Rwc @ Xc + Ow
+            mp = m.add_point(Xw, kf, int(i))
+            frame.mp[i] = mp
+            n += 1
+        return n
+
     # -------------------------------------------------------------- tracking
     def _track_frame(self, frame: Frame):
         cfg = self.cfg.tracking
         ok = False
+        pred = self._predict_imu(frame)
         if self.state == State.OK:
-            if self.velocity is not None:
-                ok = self._track_motion_model(frame)
+            if pred is not None:
+                R0, t0, v_pred = pred
+                ok = self._track_motion_model(frame, R0, t0)
+            elif self.velocity is not None:
+                Rv, tv = self.velocity
+                R0 = Rv @ self.last_frame.R
+                t0 = Rv @ self.last_frame.t + tv
+                ok = self._track_motion_model(frame, R0, t0)
             if not ok:
                 ok = self._track_reference_kf(frame)
         elif self.state == State.RECENTLY_LOST:
             ok = self._relocalize(frame)
+            if not ok and pred is not None:
+                # IMU dead-reckoning while recently lost (ref :1017-1047)
+                frame.R, frame.t, frame.v = pred
         if ok:
             ok = self._track_local_map(frame)
         if ok:
             self.state = State.OK
+            # velocity state for the next frame
+            if pred is not None:
+                dt = frame.time - self.last_frame.time
+                p_pred = -pred[0].T @ pred[1]
+                corr = (frame.center() - p_pred) / dt if dt > 0 else 0.0
+                frame.v = pred[2] + corr
+            elif self.last_frame.R is not None:
+                dt = frame.time - self.last_frame.time
+                if dt > 0:
+                    frame.v = (frame.center() - self.last_frame.center()) / dt
             # motion model velocity: Tcl = Tcw_cur * Twc_last
             Rl, tl = lie.se3_inverse(
                 jnp.asarray(self.last_frame.R), jnp.asarray(self.last_frame.t)
@@ -253,22 +414,48 @@ class Tracker:
         else:
             if self.state == State.OK:
                 self.state = State.RECENTLY_LOST
+                self.lost_since = frame.time
+            elif self.state == State.RECENTLY_LOST and \
+                    frame.time - self.lost_since > cfg.time_recently_lost:
+                self.state = State.LOST
             # keep predicted pose for the trajectory
             if frame.R is None and self.last_frame.R is not None:
                 frame.R = self.last_frame.R.copy()
                 frame.t = self.last_frame.t.copy()
             if frame.mp is None:
                 frame.mp = np.full(frame.feats.n, -1, np.int32)
+            if self.state == State.LOST:
+                self._handle_lost()
         return ok
 
-    def _track_motion_model(self, frame: Frame):
+    def _handle_lost(self):
+        """ref: Tracking.cc:1053-1058 + CreateMapInAtlas (:1689) — with a
+        mature map, spawn a fresh Atlas map and re-initialize; place
+        recognition later merges it back. Young maps are reset in place."""
+        m = self.map
+        if len(m.valid_kf_ids()) >= 10:
+            m.create_new_map()
+        else:
+            for k in m.valid_kf_ids():
+                for slot in np.nonzero(m.kf_mp[k] >= 0)[0]:
+                    mp = int(m.kf_mp[k, slot])
+                    if m.mp_valid[mp]:
+                        m.set_bad_point(mp)
+                m.kf_valid[k] = False
+        self.state = State.NO_IMAGES_YET
+        self.init_frame = None
+        self.velocity = None
+        self.ref_kf = -1
+        self.last_kf = -1
+        self.imu_since_kf = []
+        self.frames_since_kf = 0
+
+    def _track_motion_model(self, frame: Frame, R0, t0):
         """ref: TrackWithMotionModel (Tracking.cc:1879) — project last
-        frame's map points with the constant-velocity prediction."""
+        frame's map points from the predicted pose (constant-velocity or
+        IMU prediction)."""
         cfg = self.cfg.tracking
         last = self.last_frame
-        Rv, tv = self.velocity
-        R0 = Rv @ last.R
-        t0 = Rv @ last.t + tv
         last_mp = np.array(
             [self.map.resolve_replaced(int(j)) if j >= 0 else -1 for j in last.mp],
             np.int32,
@@ -343,9 +530,10 @@ class Tracker:
         return self.n_inliers >= cfg.min_inliers_motion
 
     def _relocalize(self, frame: Frame):
-        """Simplified relocalization: try the reference KF and its neighbors
-        (full BoW-candidate + MLPnP RANSAC arrives with the vocab module;
-        ref: Tracking.cc:2626)."""
+        """Relocalization: BoW candidates + PnP RANSAC when a vocabulary is
+        wired (ref: Tracking::Relocalization Tracking.cc:2626 —
+        DetectRelocalizationCandidates + SearchByBoW + MLPnP RANSAC +
+        PoseOptimization), falling back to the reference-KF neighborhood."""
         if self.ref_kf < 0:
             self.state = State.LOST
             return False
@@ -353,6 +541,63 @@ class Tracker:
         for kf in kfs:
             self.ref_kf = kf
             if self._track_reference_kf(frame):
+                return True
+        if self.loop_closer is not None:
+            return self._relocalize_bow(frame)
+        return False
+
+    def _relocalize_bow(self, frame: Frame):
+        from ..solve.pnp import pnp_ransac
+        from ..utils.pad import bucket, pad_to
+
+        lc = self.loop_closer
+        m = self.map
+        word, node, bow = lc.vocab.transform(frame.feats.bits,
+                                             frame.feats.valid)
+        cands = lc.db.detect_relocalization_candidates(
+            bow, lambda k: m.best_covisible(k, 10))
+        for kf, _score in cands:
+            if not m.kf_valid[kf]:
+                continue
+            fk = m.kf_feats[kf]
+            nk = lc.kf_nodes.get(kf)
+            has = m.kf_mp[kf] >= 0
+            mask = (has & fk.valid)[:, None] & frame.feats.valid[None, :]
+            if nk is not None:
+                mask = mask & (nk[:, None] == node[None, :])
+            midx, _ = M.match_padded(
+                fk.bits, frame.feats.bits, mask, max_dist=M.TH_LOW,
+                nn_ratio=0.75, ang_a=fk.angle, ang_b=frame.feats.angle)
+            ia = np.nonzero(midx >= 0)[0]
+            if len(ia) < 15:
+                continue
+            mp = m.kf_mp[kf, ia]
+            ok = mp >= 0
+            ia, mp = ia[ok], mp[ok]
+            slots = midx[ia]
+            n = len(ia)
+            nb = bucket(n, 64)
+            X = pad_to(m.mp_pos[mp], nb)
+            xy = pad_to(frame.feats.norm_xy[slots], nb)
+            is2 = pad_to(self.inv_sigma2[frame.feats.octave[slots]], nb)
+            vmask = np.zeros(nb, bool)
+            vmask[:n] = True
+            res = pnp_ransac(
+                jnp.asarray(X), jnp.asarray(xy), jnp.asarray(is2),
+                jnp.asarray(vmask), jax.random.PRNGKey(frame.frame_id),
+                n_hyp=256, focal2=float(self.camera.fx) ** 2)
+            if int(res["n_inliers"]) < 10:
+                continue
+            frame.mp = np.full(frame.feats.n, -1, np.int32)
+            inl = np.asarray(res["inliers"])[:n]
+            frame.mp[slots[inl]] = mp[inl]
+            Rf, tf, pin, osel = self._pose_opt(
+                np.asarray(res["R"]), np.asarray(res["t"]), frame, frame.mp)
+            frame.R, frame.t = Rf, tf
+            frame.mp[osel[~pin]] = -1
+            self.n_inliers = int(pin.sum())
+            if self.n_inliers >= 15:
+                self.ref_kf = kf
                 return True
         return False
 
@@ -450,11 +695,63 @@ class Tracker:
             frame.R, frame.t, frame.feats, frame.time, frame.frame_id,
             mp_assign=frame.mp,
         )
+        if self.sensor != "mono":
+            self._spawn_stereo_points(kf, frame, max_new=100)
         m.update_connections(kf)
+        if self.use_imu:
+            self._attach_kf_inertial(kf, frame)
         self.ref_kf = kf
+        self.last_kf = kf
         self.frames_since_kf = 0
         if self.local_mapper is not None:
             self.local_mapper.on_new_keyframe(kf)
+            if self.loop_closer is not None:
+                if self.loop_closer.on_new_keyframe(kf):
+                    # loop closed: poses/points rewritten; the constant-
+                    # velocity model is stale
+                    self.velocity = None
             # poses may have moved during local BA: refresh frame pose
             frame.R = m.kf_R[kf].copy()
             frame.t = m.kf_t[kf].copy()
+            if self.use_imu:
+                self._refresh_inertial_state(kf, frame)
+
+    def _attach_kf_inertial(self, kf: int, frame: Frame):
+        """Store the preintegration from the previous KF + raw window
+        (ref: Tracking::CreateNewKeyFrame keeps mpImuPreintegratedFromLastKF,
+        Tracking.cc:2247-2248 temporal chain mPrevKF/mNextKF)."""
+        from .inertial import preintegrate_window
+
+        m = self.map
+        prev = self.last_kf
+        m.kf_prev[kf] = prev
+        m.kf_vel[kf] = frame.v if frame.v is not None else 0.0
+        m.kf_bg[kf] = self.bg
+        m.kf_ba[kf] = self.ba
+        m.kf_bg0[kf] = self.bg
+        m.kf_ba0[kf] = self.ba
+        if prev >= 0:
+            t0 = float(m.kf_time[prev])
+            pre, raw = preintegrate_window(
+                self.imu_since_kf, t0, frame.time, self.bg, self.ba,
+                self.imu_calib)
+            m.kf_preint[kf] = pre
+            m.kf_imu[kf] = raw
+        # drop samples already integrated into a KF window
+        self.imu_since_kf = [s for s in self.imu_since_kf
+                             if s[0] > frame.time - 1e-12]
+
+    def _refresh_inertial_state(self, kf: int, frame: Frame):
+        """After mapping (IMU init may have rescaled the map, inertial BA
+        refines biases): pull the KF's state back into the tracker
+        (ref: Tracking::UpdateFrameIMU Tracking.cc:2993)."""
+        m = self.map
+        self.bg = m.kf_bg[kf].copy()
+        self.ba = m.kf_ba[kf].copy()
+        if m.imu_initialized:
+            frame.v = m.kf_vel[kf].copy()
+        if m.map_version != self.map_version_seen:
+            # world frame changed (gravity align / rescale): constant-
+            # velocity motion model is invalid
+            self.map_version_seen = m.map_version
+            self.velocity = None

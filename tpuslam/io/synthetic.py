@@ -98,10 +98,24 @@ class Trajectory:
         self.speed = speed
         self.room = room
 
+    @property
+    def _loop_params(self):
+        sx, sy, sz = self.room
+        r = 1.6
+        w = self.speed / r
+        return np.array([sx / 2, sy / 2]), r, w
+
     def pos(self, t):
         t = np.asarray(t, np.float64)
         sx, sy, sz = self.room
-        x = 1.0 + self.speed * t
+        if self.kind == "loop":
+            c, r, w = self._loop_params
+            x = c[0] + r * np.cos(w * t)
+            y = c[1] + r * np.sin(w * t)
+            z = sz / 2 + 0.1 * np.sin(0.3 * t)
+            return np.stack([x, y, np.broadcast_to(z, np.shape(x))], -1)
+        wob = 0.35 * np.sin(0.8 * t) if self.kind == "vi_excite" else 0.0
+        x = 1.0 + self.speed * t + wob
         y = sy / 2 + 0.6 * np.sin(0.4 * t)
         z = sz / 2 + 0.3 * np.sin(0.3 * t + 1.0)
         return np.stack([x, y, z], -1)
@@ -109,26 +123,47 @@ class Trajectory:
     def vel(self, t):
         t = np.asarray(t, np.float64)
         z = np.zeros_like(t)
+        if self.kind == "loop":
+            c, r, w = self._loop_params
+            return np.stack([
+                -r * w * np.sin(w * t), r * w * np.cos(w * t),
+                0.1 * 0.3 * np.cos(0.3 * t)], -1)
+        dwob = 0.35 * 0.8 * np.cos(0.8 * t) if self.kind == "vi_excite" else z
         return np.stack(
-            [self.speed + z, 0.6 * 0.4 * np.cos(0.4 * t), 0.3 * 0.3 * np.cos(0.3 * t + 1.0)],
+            [self.speed + dwob,
+             0.6 * 0.4 * np.cos(0.4 * t), 0.3 * 0.3 * np.cos(0.3 * t + 1.0)],
             -1,
         )
 
     def acc(self, t):
         t = np.asarray(t, np.float64)
         z = np.zeros_like(t)
+        if self.kind == "loop":
+            c, r, w = self._loop_params
+            return np.stack([
+                -r * w * w * np.cos(w * t), -r * w * w * np.sin(w * t),
+                -0.1 * 0.09 * np.sin(0.3 * t)], -1)
+        awob = -0.35 * 0.64 * np.sin(0.8 * t) if self.kind == "vi_excite" else z
         return np.stack(
-            [z, -0.6 * 0.16 * np.sin(0.4 * t), -0.3 * 0.09 * np.sin(0.3 * t + 1.0)], -1
+            [awob, -0.6 * 0.16 * np.sin(0.4 * t),
+             -0.3 * 0.09 * np.sin(0.3 * t + 1.0)], -1
         )
 
     def yaw_pitch(self, t):
         t = np.asarray(t, np.float64)
+        if self.kind == "loop":
+            c, r, w = self._loop_params
+            # look along the tangent of the circle
+            return w * t + np.pi / 2, 0.03 * np.sin(0.2 * t)
         yaw = 0.08 * np.sin(0.25 * t)
         pitch = 0.05 * np.sin(0.2 * t + 0.5)
         return yaw, pitch
 
     def yaw_pitch_rates(self, t):
         t = np.asarray(t, np.float64)
+        if self.kind == "loop":
+            c, r, w = self._loop_params
+            return w + np.zeros_like(t), 0.03 * 0.2 * np.cos(0.2 * t)
         dyaw = 0.08 * 0.25 * np.cos(0.25 * t)
         dpitch = 0.05 * 0.2 * np.cos(0.2 * t + 0.5)
         return dyaw, dpitch
@@ -225,10 +260,11 @@ class SyntheticSequence:
         speed=0.5,
         baseline=0.1,
         imu_rate=200.0,
+        kind="forward_arc",
     ):
         rng = np.random.RandomState(seed)
         self.planes = make_room(rng)
-        self.traj = Trajectory(speed=speed)
+        self.traj = Trajectory(kind=kind, speed=speed)
         self.height, self.width = height, width
         self.fx, self.fy = fx, fy
         self.cx = cx if cx is not None else width / 2.0

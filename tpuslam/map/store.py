@@ -73,9 +73,14 @@ class SlamMap:
         self.kf_vel = np.zeros((cap, 3))
         self.kf_bg = np.zeros((cap, 3))
         self.kf_ba = np.zeros((cap, 3))
+        self.kf_bg0 = np.zeros((cap, 3))  # bias the preint was integrated at
+        self.kf_ba0 = np.zeros((cap, 3))
         self.kf_preint: list = [None] * cap  # Preintegrated from prev KF
+        self.kf_imu: list = [None] * cap     # raw (w, a, dt) since prev KF
         self.kf_prev = np.full(cap, -1, np.int32)  # temporal chain
         self.kf_parent = np.full(cap, -1, np.int32)  # spanning tree
+        self.kf_tcp: list = [None] * cap  # (Rcp, tcp) rel pose at cull time
+        self.kf_map_id = np.zeros(cap, np.int32)   # Atlas: owning map label
         # --- map points
         mcap = 1024
         self.n_mp = 0
@@ -96,6 +101,34 @@ class SlamMap:
         self.imu_initialized = False
         self.inertial_ba1 = False
         self.inertial_ba2 = False
+        self.map_version = 0  # bumped on frame-changing ops (gravity align)
+        # Atlas (multi-map): maps are LABELS over one SoA store — a new map
+        # on tracking loss is a label bump; a merge is a Sim3 correction +
+        # relabel (ref: Atlas.cc:58 CreateNewMap, LoopClosing::MergeLocal)
+        self.current_map_id = 0
+        self.n_maps_created = 1
+
+    # ------------------------------------------------------------------ atlas
+    def create_new_map(self):
+        """ref: Atlas::CreateNewMap (Atlas.cc:58)."""
+        self.current_map_id = self.n_maps_created
+        self.n_maps_created += 1
+        self.imu_initialized = False
+        self.inertial_ba1 = False
+        self.inertial_ba2 = False
+        self.map_version += 1
+        return self.current_map_id
+
+    def map_ids(self):
+        ids = np.unique(self.kf_map_id[: self.n_kf][self.kf_valid[: self.n_kf]])
+        return sorted(int(i) for i in ids)
+
+    def relabel_map(self, src: int, dst: int):
+        """Merge bookkeeping: every KF of map `src` joins map `dst`."""
+        sel = self.kf_map_id[: self.n_kf] == src
+        self.kf_map_id[: self.n_kf][sel] = dst
+        if self.current_map_id == src:
+            self.current_map_id = dst
 
     # ------------------------------------------------------------- keyframes
     def _ensure_kf_cap(self):
@@ -103,11 +136,13 @@ class SlamMap:
             return
         cap = len(self.kf_R) * 2
         for name in ("kf_R", "kf_t", "kf_time", "kf_valid", "kf_frame_id",
-                     "kf_mp", "kf_vel", "kf_bg", "kf_ba", "kf_prev",
-                     "kf_parent"):
+                     "kf_mp", "kf_vel", "kf_bg", "kf_ba", "kf_bg0", "kf_ba0",
+                     "kf_prev", "kf_parent", "kf_map_id"):
             setattr(self, name, _grow(getattr(self, name), cap))
         self.kf_feats.extend([None] * (cap - len(self.kf_feats)))
         self.kf_preint.extend([None] * (cap - len(self.kf_preint)))
+        self.kf_imu.extend([None] * (cap - len(self.kf_imu)))
+        self.kf_tcp.extend([None] * (cap - len(self.kf_tcp)))
         self.kf_mp[self.n_kf:] = -1
         self.kf_prev[self.n_kf:] = -1
         self.kf_parent[self.n_kf:] = -1
@@ -124,6 +159,7 @@ class SlamMap:
         self.kf_valid[k] = True
         self.kf_frame_id[k] = frame_id
         self.kf_feats[k] = feats
+        self.kf_map_id[k] = self.current_map_id
         self.covis.append({})
         if mp_assign is not None:
             for slot in np.nonzero(mp_assign >= 0)[0]:
@@ -290,8 +326,13 @@ class SlamMap:
     def kf_center(self, kf: int):
         return -self.kf_R[kf].T @ self.kf_t[kf]
 
-    def valid_kf_ids(self):
-        return np.nonzero(self.kf_valid[: self.n_kf])[0]
+    def valid_kf_ids(self, map_id=None, all_maps: bool = False):
+        """Valid KFs of one map (default: the current/active map)."""
+        ok = self.kf_valid[: self.n_kf]
+        if not all_maps:
+            mid = self.current_map_id if map_id is None else map_id
+            ok = ok & (self.kf_map_id[: self.n_kf] == mid)
+        return np.nonzero(ok)[0]
 
     def valid_mp_ids(self):
         return np.nonzero(self.mp_valid[: self.n_mp])[0]
@@ -304,3 +345,37 @@ class SlamMap:
         while mp >= 0 and not self.mp_valid[mp] and self.mp_replaced_by[mp] >= 0:
             mp = int(self.mp_replaced_by[mp])
         return mp
+
+    # ----------------------------------------------------------------- inertial
+    def temporal_chain(self, map_id=None):
+        """Valid KFs of one map in temporal order."""
+        ids = [k for k in self.valid_kf_ids(map_id=map_id)]
+        return sorted(ids, key=lambda k: self.kf_time[k])
+
+    def apply_scaled_rotation(self, Rwg, s: float, velocities=None):
+        """Gravity-align and rescale the whole map after IMU init
+        (ref: Map::ApplyScaledRotation Map.cc:289).
+
+        New world frame: X' = s * Rwg^T X  (gravity becomes (0,0,-G)).
+        Camera poses: Rcw' = Rcw Rwg, tcw' = s * tcw. Velocities are
+        *metric* already (from the init solver): v' = Rwg^T v.
+        """
+        Rwg = np.asarray(Rwg)
+        Rgw = Rwg.T
+        n = self.n_kf
+        in_map = self.kf_map_id[:n] == self.current_map_id
+        self.kf_R[:n][in_map] = self.kf_R[:n][in_map] @ Rwg
+        self.kf_t[:n][in_map] = s * self.kf_t[:n][in_map]
+        if velocities is not None:
+            self.kf_vel[:n][in_map] = velocities[in_map] @ Rgw.T
+        else:
+            self.kf_vel[:n][in_map] = s * self.kf_vel[:n][in_map] @ Rgw.T
+        valid = self.mp_valid[: self.n_mp].copy()
+        anchor = self.mp_first_kf[: self.n_mp]
+        valid &= (anchor >= 0) & (self.kf_map_id[np.maximum(anchor, 0)]
+                                  == self.current_map_id)
+        self.mp_pos[: self.n_mp][valid] = s * self.mp_pos[: self.n_mp][valid] @ Rgw.T
+        self.mp_normal[: self.n_mp][valid] = self.mp_normal[: self.n_mp][valid] @ Rgw.T
+        self.mp_min_dist[: self.n_mp][valid] *= s
+        self.mp_max_dist[: self.n_mp][valid] *= s
+        self.map_version += 1

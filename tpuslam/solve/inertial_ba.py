@@ -119,7 +119,8 @@ def _inertial_parts(Rwb, p, v, bg, ba, edges_a, edges_b, pre_stack, bg0, ba0,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "robust", "opt_bias", "opt_vel"),
+    static_argnames=("n_iters", "robust", "opt_bias", "opt_vel",
+                     "prior_g", "prior_a"),
 )
 def vi_ba_solve(
     Rwb, p, v, bg, ba, X,
@@ -263,7 +264,8 @@ def vi_ba_solve(
         dba_e = ba[edges_b] - ba[edges_a]
         c_rw = jnp.sum(rw_info_g[:, None] * dbg_e ** 2) + jnp.sum(
             rw_info_a[:, None] * dba_e ** 2)
-        return c_v + c_i + c_rw
+        c_pr = prior_g * jnp.sum(bg ** 2) + prior_a * jnp.sum(ba ** 2)
+        return c_v + c_i + c_rw + c_pr
 
     def lm_step(carry, _):
         state, lam, cost_prev = carry

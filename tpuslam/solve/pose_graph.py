@@ -120,7 +120,7 @@ def pose_graph_solve(s, R, t, edges_i, edges_j, s_m, R_m, t_m, edge_w,
 
 def optimize_essential_graph(m, loop_edges, corrected, fix_kf,
                              fix_scale: bool = False, min_covis_weight=100,
-                             n_iters: int = 20):
+                             n_iters: int = 20, old_poses=None):
     """Host-side graph assembly + device solve over the map `m`
     (ref: OptimizeEssentialGraph Optimizer.cc:2347 edge selection:
     loop edges + spanning tree + covis weight >= 100).
@@ -145,11 +145,18 @@ def optimize_essential_graph(m, loop_edges, corrected, fix_kf,
         else:
             R0[i] = m.kf_R[k]
             t0[i] = m.kf_t[k]
-    # non-corrected measurements come from the PRE-correction poses
+    # measurements come from the PRE-correction poses (ref NonCorrectedSim3,
+    # Optimizer.cc:2440-2520): pass old_poses = {kf: (R, t)} snapshotted
+    # before the loop correction rewrote the window
+    def pose_of(k):
+        if old_poses is not None and k in old_poses:
+            return old_poses[k]
+        return m.kf_R[k], m.kf_t[k]
+
     def rel(ka, kb):
-        """S_b<-a from current (uncorrected) map poses, scale 1."""
-        Ra, ta = m.kf_R[ka], m.kf_t[ka]
-        Rb, tb = m.kf_R[kb], m.kf_t[kb]
+        """S_b<-a from pre-correction poses, scale 1."""
+        Ra, ta = pose_of(ka)
+        Rb, tb = pose_of(kb)
         Rba = Rb @ Ra.T
         tba = tb - Rba @ ta
         return 1.0, Rba, tba
