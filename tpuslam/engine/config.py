@@ -72,7 +72,7 @@ class LoopConfig:
     :276-295; essential-graph covis weight >=100 Optimizer.cc:2376)."""
 
     min_kfs: int = 12
-    n_candidates: int = 3
+    n_candidates: int = 5
     min_bow_matches: int = 20
     min_ransac_inliers: int = 15
     min_sim3_inliers: int = 20

@@ -191,7 +191,7 @@ def run_imu_init(m, calib: ImuCalib, mono: bool = True,
 
 def full_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2,
                      prior_g: float = 1e2, prior_a: float = 1e10,
-                     n_iters: int = 20, fix_first: bool = True):
+                     n_iters: int = 40, fix_first: bool = True):
     """ref: Optimizer::FullInertialBA (:420) over the whole temporal chain."""
     chain = m.temporal_chain()
     if len(chain) < 3:

@@ -186,6 +186,8 @@ class LocalMapper:
 
     def _erase_keyframe(self, cand: int):
         m = self.map
+        if getattr(self, "loop_closer", None) is not None:
+            self.loop_closer.on_kf_erased(cand)
         for slot in np.nonzero(m.kf_mp[cand] >= 0)[0]:
             m.erase_observation(int(m.kf_mp[cand, slot]), cand)
         for o in list(m.covis[cand]):

@@ -76,6 +76,14 @@ class LoopCloser:
         self.db.add(kf, word, bow)
         return closed
 
+    def on_kf_erased(self, kf: int):
+        """Culling hook: drop the KF from the inverted index so it stops
+        occupying candidate slots (ref: KeyFrame::SetBadFlag ->
+        KeyFrameDatabase::erase)."""
+        self.db.erase(kf)
+        self.kf_nodes.pop(kf, None)
+        self.kf_bow.pop(kf, None)
+
     # ------------------------------------------------------------ detection
     def _match_bow(self, kf_a: int, kf_b: int):
         """Node-gated descriptor matching between the MP-bearing features of

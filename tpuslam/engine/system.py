@@ -55,6 +55,7 @@ class System:
                 fix_scale=not mono or use_imu,
                 local_mapper=self.local_mapper,
             )
+            self.local_mapper.loop_closer = self.loop_closer
         self.tracker = Tracker(
             camera, self.cfg, self.map, self.local_mapper,
             sensor="mono" if mono else "stereo",
@@ -142,6 +143,41 @@ class System:
         with open(path, "w") as fh:
             for row in self.trajectory_tum():
                 fh.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+
+    def save_trajectory_euroc(self, path: str):
+        """EuRoC format: timestamp[ns] x y z qw qx qy qz
+        (ref: System::SaveTrajectoryEuRoC System.cc:607)."""
+        with open(path, "w") as fh:
+            for (t, x, y, z, qx, qy, qz, qw) in self.trajectory_tum():
+                fh.write(f"{int(round(t * 1e9))} {x:.9f} {y:.9f} {z:.9f} "
+                         f"{qw:.9f} {qx:.9f} {qy:.9f} {qz:.9f}\n")
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 12 entries of the 3x4 Twc matrix per line
+        (ref: System::SaveTrajectoryKITTI System.cc:782)."""
+        with open(path, "w") as fh:
+            for (t, Rcr, tcr, ref_kf, lost) in self.tracker.trajectory:
+                ref = self._ref_pose(ref_kf)
+                if ref is None:
+                    continue
+                Rr, tr_ = ref
+                R = Rcr @ Rr
+                tt = Rcr @ tr_ + tcr
+                Rwc = R.T
+                twc = -Rwc @ tt
+                row = np.concatenate([Rwc, twc[:, None]], axis=1).reshape(-1)
+                fh.write(" ".join(f"{v:.9e}" for v in row) + "\n")
+
+    # ---------------------------------------------------------- checkpointing
+    def save_checkpoint(self, path: str):
+        from ..map.checkpoint import save_map
+
+        save_map(self.map, path)
+
+    def load_checkpoint(self, path: str):
+        from ..map.checkpoint import load_map
+
+        load_map(self.map, path)
 
     def keyframe_trajectory_tum(self):
         rows = []

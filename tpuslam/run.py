@@ -1,0 +1,137 @@
+"""Dataset runner CLI: `python -m tpuslam.run --dataset euroc --path ...`.
+
+Replaces the reference's per-dataset example drivers (src/main.cpp,
+src/main_vi.cpp, Examples/Monocular/mono_euroc.cc,
+Examples/Stereo-Inertial/stereo_inertial_euroc.cc:233 TrackStereo loop,
+Examples/RGB-D/rgbd_tum.cc) and the eval invocation
+(euroc_eval_examples.sh: evaluate_ate_scale GT traj).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="tpuslam dataset runner")
+    p.add_argument("--dataset", required=True,
+                   choices=["euroc", "kitti", "tum_rgbd", "tum_vi", "csv",
+                            "synthetic"])
+    p.add_argument("--path", default="", help="sequence root directory")
+    p.add_argument("--settings", default="", help="reference-style YAML")
+    p.add_argument("--sensor", default="mono",
+                   choices=["mono", "stereo", "rgbd", "mono_imu",
+                            "stereo_imu"])
+    p.add_argument("--vocab", default="", help="trained vocabulary .npz")
+    p.add_argument("--output", default="trajectory_tum.txt")
+    p.add_argument("--format", default="tum",
+                   choices=["tum", "euroc", "kitti"])
+    p.add_argument("--kf-output", default="")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--eval", action="store_true",
+                   help="report ATE vs dataset ground truth")
+    p.add_argument("--checkpoint", default="",
+                   help="save a map snapshot here at the end")
+    p.add_argument("--timing", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import numpy as np
+
+    from .engine import System
+    from .engine.system import Sensor
+    from .eval.ate import associate, ate_rmse
+    from .io import datasets as D
+    from .io.settings import load_settings
+
+    if args.dataset == "euroc" or args.dataset == "tum_vi":
+        seq = D.load_euroc(args.path, stereo="stereo" in args.sensor,
+                           with_imu="imu" in args.sensor)
+    elif args.dataset == "kitti":
+        seq = D.load_kitti(args.path, stereo="stereo" in args.sensor)
+    elif args.dataset == "tum_rgbd":
+        seq = D.load_tum_rgbd(args.path)
+    elif args.dataset == "csv":
+        import os
+        seq = D.load_csv_sequence(args.path,
+                                  os.path.dirname(args.path) or ".")
+    else:
+        raise SystemExit("use tests for the synthetic dataset")
+
+    st = load_settings(args.settings)
+    sensor = {
+        "mono": Sensor.MONOCULAR, "stereo": Sensor.STEREO,
+        "rgbd": Sensor.RGBD, "mono_imu": Sensor.IMU_MONOCULAR,
+        "stereo_imu": Sensor.IMU_STEREO,
+    }[args.sensor]
+    vocab = None
+    if args.vocab:
+        from .place.store import load_vocabulary
+        vocab = load_vocabulary(args.vocab)
+    slam = System(st.camera, st.cfg, sensor=sensor,
+                  imu_calib=st.imu_calib if "imu" in args.sensor else None,
+                  vocab=vocab, bf=st.bf)
+
+    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
+    t_prev = None
+    times_ms = []
+    for i in range(n):
+        t = float(seq.times[i])
+        imu = seq.imu_between(t_prev, t) if (
+            "imu" in args.sensor and t_prev is not None) else None
+        tic = time.perf_counter()
+        if args.sensor in ("stereo", "stereo_imu"):
+            slam.track_stereo(seq.frame(i), seq.frame_right(i), t, imu=imu)
+        elif args.sensor == "rgbd":
+            slam.track_rgbd(seq.frame(i),
+                            seq.depth(i, st.cfg.depth_map_factor), t)
+        else:
+            slam.track_monocular(seq.frame(i), t, imu=imu)
+        times_ms.append((time.perf_counter() - tic) * 1e3)
+        t_prev = t
+        if args.timing and i % 50 == 0:
+            print(f"[{i}/{n}] median frame {np.median(times_ms[-50:]):.1f} ms",
+                  file=sys.stderr)
+
+    writer = {"tum": slam.save_trajectory_tum,
+              "euroc": slam.save_trajectory_euroc,
+              "kitti": slam.save_trajectory_kitti}[args.format]
+    writer(args.output)
+    if args.kf_output:
+        rows = slam.keyframe_trajectory_tum()
+        with open(args.kf_output, "w") as fh:
+            for r in rows:
+                fh.write(" ".join(f"{v:.9f}" for v in r) + "\n")
+    if args.checkpoint:
+        slam.save_checkpoint(args.checkpoint)
+
+    report = dict(
+        frames=n,
+        keyframes=int(len(slam.map.valid_kf_ids(all_maps=True))),
+        map_points=int(slam.map.mp_valid[: slam.map.n_mp].sum()),
+        maps=len(slam.map.map_ids()),
+        state=slam.get_tracking_state().name,
+        median_ms=float(np.median(times_ms)) if times_ms else None,
+    )
+    if args.eval and seq.gt is not None:
+        traj = slam.trajectory_tum()
+        t_est = np.array([r[0] for r in traj])
+        p_est = np.array([[r[1], r[2], r[3]] for r in traj])
+        i_e, i_g = associate(t_est, seq.gt[:, 0])
+        if len(i_e) >= 3:
+            mono = args.sensor in ("mono",)
+            rmse, scale = ate_rmse(p_est[i_e], seq.gt[i_g, 1:4],
+                                   with_scale=mono)
+            report["ate_rmse"] = round(float(rmse), 5)
+            report["ate_scale"] = round(float(scale), 5)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()
