@@ -42,6 +42,8 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ main
     def on_new_keyframe(self, kf: int):
+        from ..utils.timing import GLOBAL_TIMER as T
+
         m = self.map
         # ProcessNewKeyFrame: refresh stats of points seen by this KF
         for j in np.unique(m.kf_mp[kf]):
@@ -50,15 +52,20 @@ class LocalMapper:
         m.update_connections(kf)
         self._cull_recent_points(kf)
         if m.n_kf >= 2:
-            created = self._create_new_points(kf)
-            self._fuse_neighbors(kf)
-            if m.imu_initialized:
-                self._local_inertial_ba(kf)
-            else:
-                self._local_ba(kf)
-            self._cull_keyframes(kf)
+            with T.stage("triangulate"):
+                created = self._create_new_points(kf)
+            with T.stage("fuse"):
+                self._fuse_neighbors(kf)
+            with T.stage("local_ba"):
+                if m.imu_initialized:
+                    self._local_inertial_ba(kf)
+                else:
+                    self._local_ba(kf)
+            with T.stage("kf_culling"):
+                self._cull_keyframes(kf)
         if self.imu_calib is not None:
-            self._imu_stage(kf)
+            with T.stage("imu_stage"):
+                self._imu_stage(kf)
 
     # ---------------------------------------------------------------- inertial
     def _imu_stage(self, kf: int):

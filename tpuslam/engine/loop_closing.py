@@ -291,5 +291,54 @@ class LoopCloser:
             m.mp_pos[j] = (1.0 / s_n) * (R_n.T @ (Xc_old - t_n))
         for j in m.valid_mp_ids():
             m.update_point_stats(int(j))
+        # global BA after correction (ref: LoopClosing.cc:1237 spawns the
+        # GBA thread when the map is small enough; synchronous here)
+        lcfg = self.cfg.loop
+        kfs = m.valid_kf_ids()
+        if lcfg.run_gba and len(kfs) < lcfg.gba_max_kfs:
+            self._global_ba(kfs, fix_kf=cand)
         m.map_version += 1
         self.n_loops_closed += 1
+
+    def _global_ba(self, kfs, fix_kf: int, n_iters: int = 10):
+        """ref: RunGlobalBundleAdjustment (LoopClosing.cc:2430) ->
+        GlobalBundleAdjustemnt(10 it)."""
+        from ..solve import ba as B
+
+        m = self.map
+        cam = self.camera
+        kf_index = {int(k): i for i, k in enumerate(kfs)}
+        pts = np.unique(m.kf_mp[list(kfs)])
+        pts = pts[pts >= 0]
+        pts = pts[m.mp_valid[pts]]
+        if len(pts) < 20:
+            return
+        pt_index = {int(j): i for i, j in enumerate(pts)}
+        obs_kf, obs_pt, uvr, inv_s2, stereo = [], [], [], [], []
+        for j in pts:
+            for okf, slot in m.mp_obs[int(j)].items():
+                if okf not in kf_index:
+                    continue
+                f = m.kf_feats[okf]
+                obs_kf.append(kf_index[okf])
+                obs_pt.append(pt_index[int(j)])
+                ur = f.u_right[slot] if f.u_right is not None else -1.0
+                uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1],
+                            ur if ur >= 0 else 0.0])
+                stereo.append(ur >= 0)
+                inv_s2.append(self.inv_sigma2[f.octave[slot]])
+        fixed = np.zeros(len(kfs), bool)
+        fixed[kf_index[fix_kf]] = True
+        bf = getattr(self.local_mapper, "bf", 0.0) if self.local_mapper else 0.0
+        Rf, tf, Xf, chi2, posz = B.ba_solve_np(
+            m.kf_R[list(kfs)], m.kf_t[list(kfs)], m.mp_pos[pts],
+            np.array(obs_kf, np.int32), np.array(obs_pt, np.int32),
+            np.array(uvr), np.array(inv_s2), np.array(stereo, bool),
+            np.ones(len(obs_kf), bool), fixed,
+            cam.fx, cam.fy, cam.cx, cam.cy, bf, n_iters=n_iters,
+        )
+        for k, i in kf_index.items():
+            if not fixed[i]:
+                m.kf_R[k] = Rf[i]
+                m.kf_t[k] = tf[i]
+        m.mp_pos[pts] = Xf

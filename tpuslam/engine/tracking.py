@@ -129,24 +129,29 @@ class Tracker:
         """imu: [N,7] samples (t, wx, wy, wz, ax, ay, az) since the last
         frame (ref: System::TrackMonocular vImuMeas + GrabImuData).
         img_right: right image (stereo); depth: depth map (RGB-D)."""
+        from ..utils.timing import GLOBAL_TIMER as T
+
         if self.use_imu and imu is not None and len(imu):
             self.imu_since_kf.extend(np.asarray(imu, np.float64).tolist())
-        if img_right is not None:
-            feats = self.frontend.process_stereo(img, img_right)
-        elif depth is not None:
-            feats = self.frontend.process_rgbd(
-                img, depth, self.cfg.depth_map_factor)
-        else:
-            feats = self.frontend.process(img)
+        with T.stage("extract"):
+            if img_right is not None:
+                feats = self.frontend.process_stereo(img, img_right)
+            elif depth is not None:
+                feats = self.frontend.process_rgbd(
+                    img, depth, self.cfg.depth_map_factor)
+            else:
+                feats = self.frontend.process(img)
         frame = Frame(feats, time, self.frame_id)
         self.frame_id += 1
         if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
-            if self.sensor == "mono":
-                self._initialize_mono(frame)
-            else:
-                self._initialize_stereo(frame)
+            with T.stage("initialize"):
+                if self.sensor == "mono":
+                    self._initialize_mono(frame)
+                else:
+                    self._initialize_stereo(frame)
         else:
-            self._track_frame(frame)
+            with T.stage("track"):
+                self._track_frame(frame)
         # trajectory log: store pose RELATIVE to the reference KF so later
         # map updates (BA, gravity-align/rescale, loop correction) apply to
         # logged frames too (ref: Tracking.cc:1327-1347 mlRelativeFramePoses)
