@@ -1,0 +1,163 @@
+"""Loop-closer integration test at the map level: a drifted revisit with
+duplicated landmarks must be detected (BoW), verified (Sim3), and
+corrected (essential graph + fusion). Deterministic — no renderer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpuslam.cameras import Pinhole
+from tpuslam.core import lie
+from tpuslam.engine.config import LoopConfig, SlamConfig
+from tpuslam.engine.local_mapping import LocalMapper
+from tpuslam.engine.loop_closing import LoopCloser
+from tpuslam.map.store import FrameFeatures, SlamMap
+from tpuslam.place import train_vocabulary
+
+FX = FY = 250.0
+CX = CY = 180.0
+W = H = 360
+
+
+def _project(Rcw, tcw, X):
+    Xc = X @ Rcw.T + tcw
+    uv = np.stack([FX * Xc[:, 0] / Xc[:, 2] + CX,
+                   FY * Xc[:, 1] / Xc[:, 2] + CY], 1)
+    return uv, Xc[:, 2]
+
+
+def _feats(uv, z, bits, n_slots):
+    n = len(uv)
+    pad = n_slots - n
+    uvp = np.concatenate([uv, np.zeros((pad, 2))])
+    return FrameFeatures(
+        xy=uvp.copy(), und_xy=uvp.copy(),
+        norm_xy=np.concatenate(
+            [(uv - [CX, CY]) / [FX, FY], np.zeros((pad, 2))]),
+        octave=np.zeros(n_slots, np.int32), angle=np.zeros(n_slots),
+        response=np.ones(n_slots),
+        bits=np.concatenate([bits, np.zeros((pad, 256), np.uint8)]),
+        packed=np.zeros((n_slots, 8), np.uint32),
+        valid=np.concatenate([(z > 0.2), np.zeros(pad, bool)]),
+    )
+
+
+@pytest.fixture(scope="module")
+def loop_setup():
+    rng = np.random.RandomState(5)
+    P = 90
+    n_slots = P
+    # landmark set A at the start region; descriptors are the landmarks'
+    # identities (what a real detector would measure)
+    Xa = np.stack([rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P),
+                   rng.uniform(4, 9, P)], 1)
+    bits_a = (rng.rand(P, 256) > 0.5).astype(np.uint8)
+    # a corridor of poses: 0..3 look at A, 4..9 look away (set B), 10 is the
+    # revisit of pose-0's viewpoint with DRIFTED pose estimate
+    poses = []
+    for k in range(4):
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.02 * k, 0.0])))
+        t = np.array([0.05 * k, 0.0, 0.0])
+        poses.append((R, t))
+    Xb = np.stack([rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P),
+                   rng.uniform(4, 9, P)], 1) + np.array([0.0, 0.0, 30.0])
+    bits_b = (rng.rand(P, 256) > 0.5).astype(np.uint8)
+    for k in range(6):
+        R = np.eye(3)
+        t = np.array([0.0, 0.0, -20.0 + 0.3 * k])  # looking at the B cloud
+        poses.append((R, t))
+    # true revisit pose = pose 0; drifted estimate:
+    drift_R = np.asarray(lie.so3_exp(jnp.asarray([0.02, -0.04, 0.03])))
+    drift_t = np.array([0.4, -0.3, 0.5])
+    R_true, t_true = poses[0]
+    R_drift = drift_R @ R_true
+    t_drift = drift_R @ t_true + drift_t
+    vocab = train_vocabulary(
+        np.concatenate([bits_a, bits_b]), k=6, L=3, iters=4)
+    m = SlamMap(n_feat=n_slots)
+    cfg = SlamConfig(loop=LoopConfig(
+        min_kfs=4, min_bow_matches=15, min_ransac_inliers=12,
+        min_sim3_inliers=15, min_proj_matches=20, run_gba=False))
+    cam = Pinhole([FX, FY, CX, CY], W, H)
+    lm = LocalMapper(cam, cfg, m)
+    lc = LoopCloser(cam, cfg, m, vocab, fix_scale=False, local_mapper=lm)
+    lm.loop_closer = lc
+    noise = lambda b: b ^ (rng.rand(*b.shape) < 0.02)
+
+    kfs = []
+    mp_ids_a = {}
+    for k, (R, t) in enumerate(poses):
+        X = Xa if k < 4 else Xb
+        bits = bits_a if k < 4 else bits_b
+        uv, z = _project(R, t, X)
+        f = _feats(uv, z, noise(bits).astype(np.uint8), n_slots)
+        kf = m.add_keyframe(R, t, f, float(k), k)
+        kfs.append(kf)
+        for j in range(P):
+            if z[j] <= 0.2:
+                continue
+            key = (0, j) if k < 4 else (1, j)
+            if key not in mp_ids_a:
+                mp_ids_a[key] = m.add_point(X[j], kf, j)
+            else:
+                m.add_observation(mp_ids_a[key], kf, j)
+        m.update_connections(kf)
+        lc.on_new_keyframe(kf)
+    # the revisit KF: sees set A but data association failed (drift), so it
+    # gets its OWN duplicated landmarks, unprojected with the drifted pose
+    uv, z = _project(R_true, t_true, Xa)   # true geometry of what it sees
+    f = _feats(uv, z, noise(bits_a).astype(np.uint8), n_slots)
+    kf_re = m.add_keyframe(R_drift, t_drift, f, 10.0, 10)
+    Rwc = R_drift.T
+    Ow = -Rwc @ t_drift
+    for j in range(P):
+        if z[j] <= 0.2:
+            continue
+        # duplicate landmark from the drifted viewpoint (consistent depth)
+        ray = Rwc @ np.array([(uv[j, 0] - CX) / FX * z[j],
+                              (uv[j, 1] - CY) / FY * z[j], z[j]])
+        m.add_point(Ow + ray, kf_re, j)
+    m.update_connections(kf_re)
+    closed = lc.on_new_keyframe(kf_re)
+    return dict(m=m, lc=lc, kf_re=kf_re, R_true=R_true, t_true=t_true,
+                closed=closed, Xa=Xa, mp_ids_a=mp_ids_a)
+
+
+def test_loop_detected_and_closed(loop_setup):
+    assert loop_setup["closed"]
+    assert loop_setup["lc"].n_loops_closed == 1
+
+
+def test_revisit_pose_corrected(loop_setup):
+    m = loop_setup["m"]
+    kf = loop_setup["kf_re"]
+    R_err = m.kf_R[kf] @ loop_setup["R_true"].T
+    ang = np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1))
+    assert ang < 0.02, ang
+    assert np.linalg.norm(m.kf_t[kf] - loop_setup["t_true"]) < 0.1
+
+
+def test_duplicates_fused(loop_setup):
+    """The revisit KF's observations should now point at the ORIGINAL
+    landmark set (replace/fuse), not its duplicates."""
+    m = loop_setup["m"]
+    kf = loop_setup["kf_re"]
+    orig = {int(v) for (s, j), v in loop_setup["mp_ids_a"].items() if s == 0}
+    slots = np.nonzero(m.kf_mp[kf] >= 0)[0]
+    hits = sum(1 for s in slots
+               if m.resolve_replaced(int(m.kf_mp[kf, s])) in orig
+               or int(m.kf_mp[kf, s]) in orig)
+    assert hits > 0.5 * len(slots), (hits, len(slots))
+
+
+def test_map_invariants_after_closure(loop_setup):
+    m = loop_setup["m"]
+    for j in m.valid_mp_ids():
+        for kf, slot in m.mp_obs[int(j)].items():
+            assert m.kf_mp[kf, slot] == j
+    for k in m.valid_kf_ids():
+        for s in np.nonzero(m.kf_mp[k] >= 0)[0]:
+            j = int(m.kf_mp[k, s])
+            assert m.mp_valid[j]
+            assert m.mp_obs[j].get(int(k)) == s
