@@ -18,12 +18,13 @@ from tpuslam.place import train_vocabulary
 
 @pytest.fixture(scope="module")
 def loop_run():
-    seq = SyntheticSequence(n_frames=70, fps=6, speed=1.0, kind="loop")
+    seq = SyntheticSequence(n_frames=92, fps=8, speed=1.0, kind="loop")
     cam = Pinhole([seq.fx, seq.fy, seq.cx, seq.cy], seq.width, seq.height)
     cfg = SlamConfig(
         orb=OrbConfig(n_features=800),
-        tracking=TrackingConfig(max_frames_between_kf=3,
-                                min_matches_init=60),
+        tracking=TrackingConfig(max_frames_between_kf=4,
+                                min_matches_init=60,
+                                motion_model_radius=25.0),
         loop=LoopConfig(min_proj_matches=35, min_bow_matches=15),
     )
     # vocabulary trained on frames of the same room (offline step, like the

@@ -174,20 +174,7 @@ class LocalMapper:
             slots = np.nonzero(m.kf_mp[cand] >= 0)[0]
             if len(slots) == 0:
                 continue
-            n_red = 0
-            for slot in slots:
-                mp = int(m.kf_mp[cand, slot])
-                lvl = m.kf_feats[cand].octave[slot]
-                n_obs = 0
-                for okf, oslot in m.mp_obs[mp].items():
-                    if okf == cand:
-                        continue
-                    if m.kf_feats[okf].octave[oslot] <= lvl + 1:
-                        n_obs += 1
-                        if n_obs >= 3:
-                            break
-                if n_obs >= 3:
-                    n_red += 1
+            n_red = m.redundancy(cand, min_obs=3)
             if n_red > self.cfg.mapping.culling_redundancy * len(slots):
                 self._erase_keyframe(cand)
 

@@ -17,7 +17,7 @@ import numpy as np
 _ARRAY_FIELDS = (
     "kf_R", "kf_t", "kf_time", "kf_valid", "kf_frame_id", "kf_mp",
     "kf_vel", "kf_bg", "kf_ba", "kf_bg0", "kf_ba0", "kf_prev", "kf_parent",
-    "kf_map_id",
+    "kf_map_id", "kf_octave_tab",
     "mp_pos", "mp_normal", "mp_min_dist", "mp_max_dist", "mp_bits",
     "mp_valid", "mp_first_kf", "mp_visible", "mp_found", "mp_replaced_by",
 )
@@ -48,4 +48,5 @@ def load_map(m, path: str):
     blob = pickle.loads(data["_blob"].tobytes())
     for name in _PICKLED:
         setattr(m, name, blob[name])
+    m.rebuild_native()
     return m

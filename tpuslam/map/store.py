@@ -95,6 +95,15 @@ class SlamMap:
         self.mp_found = np.zeros(mcap, np.int32)
         self.mp_obs: list[dict[int, int]] = []  # mp -> {kf: slot}
         self.mp_replaced_by = np.full(mcap, -1, np.int32)
+        # native C++ mirror of the inverse index: serves the hot queries
+        # (covisibility counting, culling redundancy); Python dicts stay
+        # authoritative and the mirror tracks every mutation
+        try:
+            from ..native import NativeObsIndex
+            self._native = NativeObsIndex()
+        except Exception:
+            self._native = None
+        self.kf_octave_tab = np.zeros((cap, n_feat), np.int8)
         # --- covisibility: kf -> {kf: weight}
         self.covis: list[dict[int, int]] = []
         # bookkeeping
@@ -143,6 +152,7 @@ class SlamMap:
         self.kf_preint.extend([None] * (cap - len(self.kf_preint)))
         self.kf_imu.extend([None] * (cap - len(self.kf_imu)))
         self.kf_tcp.extend([None] * (cap - len(self.kf_tcp)))
+        self.kf_octave_tab = _grow(self.kf_octave_tab, cap)
         self.kf_mp[self.n_kf:] = -1
         self.kf_prev[self.n_kf:] = -1
         self.kf_parent[self.n_kf:] = -1
@@ -160,6 +170,7 @@ class SlamMap:
         self.kf_frame_id[k] = frame_id
         self.kf_feats[k] = feats
         self.kf_map_id[k] = self.current_map_id
+        self.kf_octave_tab[k, : len(feats.octave)] = feats.octave
         self.covis.append({})
         if mp_assign is not None:
             for slot in np.nonzero(mp_assign >= 0)[0]:
@@ -205,11 +216,15 @@ class SlamMap:
             self.kf_mp[kf, old_slot] = -1
         self.mp_obs[mp][kf] = slot
         self.kf_mp[kf, slot] = mp
+        if self._native is not None:
+            self._native.add(mp, kf, slot)
 
     def erase_observation(self, mp: int, kf: int):
         slot = self.mp_obs[mp].pop(kf, None)
         if slot is not None and self.kf_mp[kf, slot] == mp:
             self.kf_mp[kf, slot] = -1
+        if slot is not None and self._native is not None:
+            self._native.erase(mp, kf)
         if len(self.mp_obs[mp]) <= 1 and self.mp_valid[mp]:
             # ref: MapPoint::EraseObservation -> SetBadFlag when obs<=2 for
             # stereo / <=1 mono-ish; use <=1
@@ -221,6 +236,8 @@ class SlamMap:
             if self.kf_mp[kf, slot] == mp:
                 self.kf_mp[kf, slot] = -1
         self.mp_obs[mp] = {}
+        if self._native is not None:
+            self._native.clear_mp(mp)
 
     def replace_point(self, old: int, new: int):
         """ref: MapPoint::Replace — all observations move to `new`."""
@@ -234,11 +251,15 @@ class SlamMap:
             else:
                 self.mp_obs[new][kf] = slot
                 self.kf_mp[kf, slot] = new
+                if self._native is not None:
+                    self._native.add(new, kf, slot)
         self.mp_found[new] += self.mp_found[old]
         self.mp_visible[new] += self.mp_visible[old]
         self.mp_obs[old] = {}
         self.mp_valid[old] = False
         self.mp_replaced_by[old] = new
+        if self._native is not None:
+            self._native.clear_mp(old)
         self.update_point_stats(new)
 
     def update_point_stats(self, mp: int):
@@ -289,18 +310,23 @@ class SlamMap:
     def update_connections(self, kf: int, th: int = 15):
         """Recount shared map points with other KFs; weight >= th creates an
         edge (always keep the single best). Sets spanning-tree parent on
-        first connection (ref: KeyFrame::UpdateConnections, :388)."""
-        counts: dict[int, int] = {}
-        for mp in self.kf_mp[kf, : self.n_feat]:
-            if mp < 0:
-                continue
-            for okf in self.mp_obs[mp]:
-                if okf != kf:
-                    counts[okf] = counts.get(okf, 0) + 1
+        first connection (ref: KeyFrame::UpdateConnections, :388).
+        The counting loop runs in the native core when available."""
+        if self._native is not None:
+            ks, ws = self._native.covis_counts(kf, self.kf_mp[kf, : self.n_feat])
+            counts = {int(k): int(w) for k, w in zip(ks, ws)}
+        else:
+            counts = {}
+            for mp in self.kf_mp[kf, : self.n_feat]:
+                if mp < 0:
+                    continue
+                for okf in self.mp_obs[mp]:
+                    if okf != kf:
+                        counts[okf] = counts.get(okf, 0) + 1
         if not counts:
             self.covis[kf] = {}
             return
-        best_kf = max(counts, key=counts.get)
+        best_kf = max(counts, key=lambda o: (counts[o], -o))  # deterministic
         edges = {o: w for o, w in counts.items() if w >= th}
         if not edges:
             edges = {best_kf: counts[best_kf]}
@@ -313,6 +339,40 @@ class SlamMap:
         self.covis[kf] = edges
         if self.kf_parent[kf] < 0 and kf != 0:
             self.kf_parent[kf] = best_kf
+
+    def redundancy(self, kf: int, min_obs: int = 3) -> int:
+        """#points of kf seen by >= min_obs other KFs at the same-or-finer
+        scale (ref KeyFrameCulling redundancy rule). Native when available."""
+        row = self.kf_mp[kf, : self.n_feat]
+        if self._native is not None:
+            return self._native.redundancy(
+                kf, row, self.kf_octave_tab, min_obs)
+        n_red = 0
+        for slot in np.nonzero(row >= 0)[0]:
+            mp = int(row[slot])
+            lvl = self.kf_feats[kf].octave[slot]
+            c = 0
+            for okf, oslot in self.mp_obs[mp].items():
+                if okf == kf:
+                    continue
+                if self.kf_feats[okf].octave[oslot] <= lvl + 1:
+                    c += 1
+                    if c >= min_obs:
+                        break
+            if c >= min_obs:
+                n_red += 1
+        return n_red
+
+    def rebuild_native(self):
+        """Re-mirror the inverse index (after checkpoint load)."""
+        if self._native is None:
+            return
+        from ..native import NativeObsIndex
+
+        self._native = NativeObsIndex()
+        for mp, obs in enumerate(self.mp_obs):
+            for kf, slot in obs.items():
+                self._native.add(mp, int(kf), int(slot))
 
     def best_covisible(self, kf: int, k: int | None = None):
         nb = sorted(self.covis[kf].items(), key=lambda kv: -kv[1])
