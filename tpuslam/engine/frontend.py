@@ -23,6 +23,9 @@ class Frontend:
         self.bf = bf
         self.scale_factors = orb_cfg.scale ** np.arange(orb_cfg.n_levels)
 
+    def _extract_raw(self, img):
+        return self.extractor(jnp.asarray(img, jnp.float32))
+
     def process_stereo(self, img_l, img_r) -> FrameFeatures:
         """Stereo frame: extract both images, row-banded stereo match for
         per-feature depth (ref: stereo Frame ctor Frame.cc:88 + L/R
@@ -43,6 +46,66 @@ class Frontend:
         okn = np.asarray(ok)
         f.depth = np.where(okn, np.asarray(z), -1.0)
         f.u_right = np.where(okn, np.asarray(u_r), -1.0)
+        return f
+
+    def process_stereo_fisheye(self, img_l, img_r, camera_r, R_rl, t_rl):
+        """Fisheye (KB8) stereo frame: BF ratio matching within the lapping
+        areas + two-ray triangulation for per-feature depth (ref: fisheye
+        Frame ctor Frame.cc:1034, ComputeStereoFishEyeMatches :1128 —
+        BFMatcher knn + Lowe 0.7 — and KannalaBrandt8::TriangulateMatches
+        KannalaBrandt8.cpp:334 with reprojection/parallax gates).
+
+        R_rl, t_rl: right<-left extrinsic. Depth is stored; u_right stays
+        unset (fisheye observations are per-camera mono residuals)."""
+        import jax
+        from ..ops import match as M
+        from ..ops.twoview import triangulate_batch
+
+        f = self.process(img_l)
+        out_r = self._extract_raw(img_r)
+        xy_r = np.asarray(out_r["xy"])
+        valid_r = np.asarray(out_r["valid"])
+        bits_r = np.asarray(out_r["bits"])
+        lap_l = self.camera.lapping if hasattr(self.camera, "lapping") else \
+            (0, self.camera.width)
+        lap_r = camera_r.lapping if hasattr(camera_r, "lapping") else \
+            (0, camera_r.width)
+        in_lap_l = (f.xy[:, 0] >= lap_l[0]) & (f.xy[:, 0] <= lap_l[1])
+        in_lap_r = (xy_r[:, 0] >= lap_r[0]) & (xy_r[:, 0] <= lap_r[1])
+        mask = (f.valid & in_lap_l)[:, None] & (valid_r & in_lap_r)[None, :]
+        midx, _ = M.match_padded(
+            f.bits, bits_r, mask, max_dist=M.TH_HIGH, nn_ratio=0.7)
+        il = np.nonzero(midx >= 0)[0]
+        depth = np.full(f.n, -1.0)
+        if len(il):
+            ir = midx[il]
+            rays_r = np.asarray(camera_r.unproject(jnp.asarray(xy_r[ir])))
+            x1 = f.norm_xy[il]
+            x2 = rays_r[:, :2] / np.maximum(rays_r[:, 2:3], 1e-9)
+            X = np.asarray(triangulate_batch(
+                jnp.asarray(np.eye(3)), jnp.zeros(3),
+                jnp.asarray(np.asarray(R_rl, np.float64)),
+                jnp.asarray(np.asarray(t_rl, np.float64)),
+                jnp.asarray(x1), jnp.asarray(x2)))
+            Xr = X @ np.asarray(R_rl).T + np.asarray(t_rl)
+            # gates (ref TriangulateMatches): cheirality, parallax,
+            # reprojection in both cameras
+            uv_l = np.asarray(self.camera.project(jnp.asarray(X)))
+            uv_r2 = np.asarray(camera_r.project(jnp.asarray(Xr)))
+            e_l = np.sum((uv_l - f.und_xy[il]) ** 2, 1)
+            e_r = np.sum((uv_r2 - xy_r[ir]) ** 2, 1)
+            r1 = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-9)
+            O2 = -np.asarray(R_rl).T @ np.asarray(t_rl)
+            v2 = X - O2[None]
+            v2 = v2 / np.maximum(np.linalg.norm(v2, axis=1, keepdims=True), 1e-9)
+            cosp = np.sum(r1 * v2, 1)
+            # parallax gate scaled for a short stereo baseline: reject only
+            # near-degenerate rays (depth >> baseline still has usable
+            # parallax; 0.9998 is the mono-init threshold, too strict here)
+            ok = (X[:, 2] > 0.05) & (Xr[:, 2] > 0.05) & (e_l < 5.991) \
+                & (e_r < 5.991) & (cosp < 0.99998)
+            depth[il[ok]] = X[ok, 2]
+        f.depth = depth
         return f
 
     def process_rgbd(self, img, depth_map,
