@@ -104,15 +104,20 @@ class LocalMapper:
                 prior_g=0.0, prior_a=0.0)
             m.inertial_ba2 = True
             self.viba_stage = 3
-        elif self.mono and self.viba_stage < 3 \
-                and elapsed < icfg.scale_refine_until \
+        elif self.viba_stage < 3 and elapsed < icfg.scale_refine_until \
                 and t_now - self._last_refine > icfg.scale_refine_period:
-            # periodic scale/gravity refinement while the estimate is young
-            # (ref: LocalMapping.cc:208-219 — ScaleRefinement fires at
-            # sparse intervals, NOT per KF: per-KF application compounds
-            # any small bias in the inertial-only estimate into the map)
+            # periodic JOINT full VI BA + (mono) inertial-only scale/gravity
+            # refinement while the estimate is young (ref: LocalMapping.cc
+            # :208-219 ScaleRefinement schedule). The joint solve matters:
+            # correlated visual rotation drift reads as a scale change to
+            # the poses-fixed refinement, so refinement alone biases the
+            # map; full BA corrects the rotations it rides on.
             self._last_refine = t_now
-            run_imu_init(m, self.imu_calib, mono=True, opt_bias=False)
+            full_inertial_ba(
+                m, self.camera, self.imu_calib, self.inv_sigma2,
+                prior_g=icfg.prior_g2, prior_a=icfg.prior_a2)
+            if self.mono:
+                run_imu_init(m, self.imu_calib, mono=True, opt_bias=False)
 
     def _local_inertial_ba(self, kf: int):
         from .inertial import local_inertial_ba

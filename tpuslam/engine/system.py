@@ -31,10 +31,12 @@ class Sensor(enum.Enum):
 class System:
     def __init__(self, camera, cfg: SlamConfig | None = None,
                  sensor: Sensor = Sensor.MONOCULAR, imu_calib=None,
-                 vocab=None, bf: float = 0.0):
+                 vocab=None, bf: float = 0.0, async_mapping: bool = False):
         """vocab: a place.BinaryVocabulary; enables loop closing and BoW
         relocalization (ref: System ctor loads ORBvoc, System.cc:85).
-        bf: fx * baseline in pixels (ref Camera.bf) for stereo/RGB-D."""
+        bf: fx * baseline in pixels (ref Camera.bf) for stereo/RGB-D.
+        async_mapping: run local mapping + loop closing on a worker thread
+        (the reference's LocalMapping/LoopClosing threads; visual-only)."""
         self.cfg = cfg or SlamConfig()
         self.camera = camera
         self.sensor = sensor
@@ -56,11 +58,24 @@ class System:
                 local_mapper=self.local_mapper,
             )
             self.local_mapper.loop_closer = self.loop_closer
+        self.async_mapper = None
+        mapper_for_tracker = self.local_mapper
+        closer_for_tracker = self.loop_closer
+        if async_mapping:
+            if use_imu:
+                raise ValueError(
+                    "async_mapping currently supports visual-only sensors "
+                    "(inertial needs the synchronous bias feedback)")
+            from ..parallel.async_mapping import AsyncMapper
+            self.async_mapper = AsyncMapper(
+                self.local_mapper, self.loop_closer, self.map.lock)
+            mapper_for_tracker = self.async_mapper
+            closer_for_tracker = None  # the worker thread runs it
         self.tracker = Tracker(
-            camera, self.cfg, self.map, self.local_mapper,
+            camera, self.cfg, self.map, mapper_for_tracker,
             sensor="mono" if mono else "stereo",
             imu_calib=imu_calib if use_imu else None,
-            loop_closer=self.loop_closer, bf=bf,
+            loop_closer=closer_for_tracker, bf=bf,
         )
 
     # ------------------------------------------------------------------ API
@@ -101,7 +116,9 @@ class System:
         return self.tracker.state
 
     def shutdown(self):
-        pass  # synchronous engine: nothing to join
+        """ref: System::Shutdown (System.cc:487) — join worker threads."""
+        if self.async_mapper is not None:
+            self.async_mapper.shutdown()
 
     # ------------------------------------------------------------ trajectory
     def _ref_pose(self, ref_kf: int):

@@ -143,15 +143,18 @@ class Tracker:
                 feats = self.frontend.process(img)
         frame = Frame(feats, time, self.frame_id)
         self.frame_id += 1
-        if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
-            with T.stage("initialize"):
-                if self.sensor == "mono":
-                    self._initialize_mono(frame)
-                else:
-                    self._initialize_stereo(frame)
-        else:
-            with T.stage("track"):
-                self._track_frame(frame)
+        # extraction ran lock-free; the state machine holds the map lock
+        # (ref: Track() under Map::mMutexMapUpdate, Tracking.cc:921)
+        with self.map.lock:
+            if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+                with T.stage("initialize"):
+                    if self.sensor == "mono":
+                        self._initialize_mono(frame)
+                    else:
+                        self._initialize_stereo(frame)
+            else:
+                with T.stage("track"):
+                    self._track_frame(frame)
         # trajectory log: store pose RELATIVE to the reference KF so later
         # map updates (BA, gravity-align/rescale, loop correction) apply to
         # logged frames too (ref: Tracking.cc:1327-1347 mlRelativeFramePoses)

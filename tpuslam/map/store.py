@@ -55,8 +55,13 @@ class SlamMap:
 
     def __init__(self, n_feat: int, scale: float = 1.2, n_levels: int = 8,
                  map_id: int = 0):
+        import threading
+
         self.map_id = map_id
         self.n_feat = n_feat
+        # one coarse lock = the reference's Map::mMutexMapUpdate discipline
+        # (held by the tracker's state machine and by async mapping stages)
+        self.lock = threading.RLock()
         self.scale_factors = scale ** np.arange(n_levels)
         self.n_levels = n_levels
         # --- keyframes (SoA, capacity-doubling)
