@@ -120,3 +120,58 @@ def test_pose_graph_fix_scale(rng):
         jnp.asarray(fixed), n_iters=20, fix_scale=True,
     )
     np.testing.assert_allclose(np.asarray(sf), 1.0, atol=1e-12)
+
+
+def test_pose_graph_4dof_closes_loop(rng):
+    """Inertial essential graph: 4DoF (yaw+translation) corrections close
+    the loop while leaving gravity (pitch/roll) untouched
+    (ref: OptimizeEssentialGraph4DoF Optimizer.cc:8305)."""
+    from tpuslam.solve.pose_graph import pose_graph_solve_4dof
+
+    K = 12
+    # yaw-only drift so the 4DoF gauge can absorb it
+    gt, est, meas = _circle_graph(rng, K, drift=0.0, s_drift=0.0)
+    # re-noise the odometry with yaw+translation-only perturbations
+    est2 = [gt[0]]
+    meas2 = []
+    for k in range(K - 1):
+        _, R_rel, t_rel = meas[k][2]
+        yaw = rng.randn() * 0.02
+        c, s = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        Rn = Rz @ R_rel
+        tn = Rz @ t_rel + rng.randn(3) * np.array([0.02, 0.02, 0.0])
+        meas2.append((k, k + 1, Rn, tn))
+        _, Rk, tk = est2[k]
+        est2.append((1.0, Rn @ Rk, Rn @ tk + tn))
+    _, R_loop, t_loop = meas[-1][2]
+    meas2.append((0, K - 1, np.asarray(R_loop), np.asarray(t_loop)))
+    R0 = np.stack([e[1] for e in est2])
+    t0 = np.stack([e[2] for e in est2])
+    ei = np.array([m[0] for m in meas2], np.int32)
+    ej = np.array([m[1] for m in meas2], np.int32)
+    Rm = np.stack([m[2] for m in meas2])
+    tm = np.stack([m[3] for m in meas2])
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+
+    def center_err(R, t, k):
+        _, Rg, tg = gt[k]
+        return np.linalg.norm(-(R[k].T @ t[k]) + Rg.T @ tg)
+
+    err_before = center_err(R0, t0, K - 1)
+    Rf, tf, cost = pose_graph_solve_4dof(
+        jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(Rm), jnp.asarray(tm), jnp.ones(len(ei)),
+        jnp.asarray(fixed), n_iters=25,
+    )
+    Rf = np.asarray(Rf)
+    tf = np.asarray(tf)
+    err_after = center_err(Rf, tf, K - 1)
+    assert err_after < 0.2 * err_before, (err_before, err_after)
+    # gravity direction in camera coords (3rd column of Rcw) is untouched:
+    # the update only rotates about world z
+    np.testing.assert_allclose(Rf[:, :, 2], R0[:, :, 2], atol=1e-9)
+    # rotations stay orthonormal
+    for k in range(K):
+        np.testing.assert_allclose(Rf[k] @ Rf[k].T, np.eye(3), atol=1e-9)

@@ -30,7 +30,8 @@ class Frontend:
         """Stereo frame: extract both images, row-banded stereo match for
         per-feature depth (ref: stereo Frame ctor Frame.cc:88 + L/R
         extraction threads :109-112 + ComputeStereoMatches :802)."""
-        from ..ops.stereo import depth_from_disparity, stereo_match
+        from ..ops.stereo import (depth_from_disparity, sad_refine,
+                                  stereo_match)
 
         f = self.process(img_l)
         out_r = self.extractor(jnp.asarray(img_r, jnp.float32))
@@ -42,10 +43,22 @@ class Frontend:
             jnp.asarray(self.scale_factors.astype(np.float32)),
             0.3, float(self.camera.fx),
         )
-        z = depth_from_disparity(disp, self.bf)
+        # SAD sub-pixel refinement + median-SAD outlier filter
+        # (ref: Frame.cc:869-975 — thDist = 1.5 * 1.4 * median)
+        u_r, sad, ok = sad_refine(
+            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            jnp.asarray(f.xy), u_r, ok)
         okn = np.asarray(ok)
-        f.depth = np.where(okn, np.asarray(z), -1.0)
-        f.u_right = np.where(okn, np.asarray(u_r), -1.0)
+        sadn = np.asarray(sad)
+        if okn.any():
+            th = 1.5 * 1.4 * np.median(sadn[okn])
+            okn = okn & (sadn < th)
+        u_rn = np.asarray(u_r)
+        disp = f.xy[:, 0] - u_rn
+        okn = okn & (disp > 1e-3)
+        z = np.asarray(depth_from_disparity(jnp.asarray(disp), self.bf))
+        f.depth = np.where(okn, z, -1.0)
+        f.u_right = np.where(okn, u_rn, -1.0)
         return f
 
     def process_stereo_fisheye(self, img_l, img_r, camera_r, R_rl, t_rl):

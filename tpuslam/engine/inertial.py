@@ -148,8 +148,9 @@ def run_imu_init(m, calib: ImuCalib, mono: bool = True,
         return False
     idx = {k: i for i, k in enumerate(chain)}
     K = len(chain)
-    Rwb = np.stack([m.kf_R[k].T for k in chain])          # body == camera
-    p = np.stack([m.kf_center(k) for k in chain])
+    bodies = [calib.body_from_cam(m.kf_R[k], m.kf_t[k]) for k in chain]
+    Rwb = np.stack([b[0] for b in bodies])
+    p = np.stack([b[1] for b in bodies])
     pre_stack = jax.tree.map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
         *[e["pre"] for e in edges])
@@ -309,8 +310,7 @@ def window_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2, opt_kfs,
     bg = np.zeros((Kb, 3))
     ba = np.zeros((Kb, 3))
     for k, i in idx.items():
-        Rwb[i] = m.kf_R[k].T
-        p[i] = m.kf_center(k)
+        Rwb[i], p[i] = calib.body_from_cam(m.kf_R[k], m.kf_t[k])
         v[i] = m.kf_vel[k]
         bg[i] = m.kf_bg[k]
         ba[i] = m.kf_ba[k]
@@ -349,6 +349,7 @@ def window_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2, opt_kfs,
         jnp.asarray(fixed), jnp.asarray(pair_a_a), jnp.asarray(pair_b_a),
         camera.fx, camera.fy, camera.cx, camera.cy, 0.0,
         jnp.asarray(rw_g), jnp.asarray(rw_a),
+        jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
         prior_g=prior_g, prior_a=prior_a, n_iters=n_iters,
     )
     Rf, pf, vf, bgf, baf, Xf = [np.asarray(x) for x in out[:6]]
@@ -359,8 +360,7 @@ def window_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2, opt_kfs,
         if fixed[i] and not (fix_first and i == 0):
             # frontier: pose fixed, nothing changed
             continue
-        m.kf_R[k] = Rf[i].T
-        m.kf_t[k] = -Rf[i].T @ pf[i]
+        m.kf_R[k], m.kf_t[k] = calib.cam_from_body(Rf[i], pf[i])
         m.kf_vel[k] = vf[i]
     for k in opt_kfs:
         i = idx[k]
@@ -369,9 +369,10 @@ def window_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2, opt_kfs,
     m.mp_pos[pts] = Xf[: len(pts)]
     # chi2 prune of visual outliers
     from ..solve.ba import ba_chi2
+    cams = [calib.cam_from_body(Rf[i], pf[i]) for i in range(Kb)]
     chi2, posz = ba_chi2(
-        jnp.asarray(np.stack([Rf[i].T for i in range(Kb)])),
-        jnp.asarray(np.stack([-Rf[i].T @ pf[i] for i in range(Kb)])),
+        jnp.asarray(np.stack([c[0] for c in cams])),
+        jnp.asarray(np.stack([c[1] for c in cams])),
         jnp.asarray(Xf), jnp.asarray(obs_kf_a), jnp.asarray(obs_pt_a),
         jnp.asarray(uvr_a), jnp.asarray(inv_s2_a), jnp.zeros(Ob, bool),
         camera.fx, camera.fy, camera.cx, camera.cy, 0.0,

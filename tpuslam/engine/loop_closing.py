@@ -237,12 +237,15 @@ class LoopCloser:
                 done.add(int(mp))
                 Xc_old = Ro @ m.mp_pos[mp] + to
                 m.mp_pos[mp] = (1.0 / sk) * (Rk.T @ (Xc_old - tk))
-        # write corrected poses (translation rescaled: Tcw = [R | t/s])
+        # write corrected poses (translation rescaled: Tcw = [R | t/s]);
+        # world velocities ride the per-KF world correction
+        # v' = (1/s) R_new^T R_old v (ref CorrectLoop Rcor*Vw :1127)
         for k in window:
             sk, Rk, tk = corrected[k]
+            Ro, _ = old_pose[k]
             m.kf_R[k] = Rk
             m.kf_t[k] = tk / sk
-            m.kf_vel[k] = m.kf_vel[k] / sk
+            m.kf_vel[k] = (Rk.T @ Ro @ m.kf_vel[k]) / sk
         # fuse matched duplicates: loop MP replaces current MP (ref :1156)
         for cur_mp, loop_mp in match_pairs:
             cur_mp = m.resolve_replaced(int(cur_mp))
@@ -273,6 +276,7 @@ class LoopCloser:
             m, edges, corrected, fix_kf=cand, fix_scale=self.fix_scale,
             min_covis_weight=self.cfg.loop.essential_min_weight,
             old_poses=old_pose,
+            four_dof=m.imu_initialized,
         )
         # correct remaining map points through their anchor KF's motion
         done2 = set(done)

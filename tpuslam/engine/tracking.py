@@ -47,6 +47,8 @@ class Frame:
     t: np.ndarray | None = None
     mp: np.ndarray | None = None  # [N] mp id per feature (-1 none)
     v: np.ndarray | None = None   # world velocity of the body (inertial)
+    bg: np.ndarray | None = None  # per-frame bias estimate (inertial)
+    ba: np.ndarray | None = None
 
     def center(self):
         return -self.R.T @ self.t
@@ -84,6 +86,10 @@ class Tracker:
         self.ba = np.zeros(3)
         self.map_version_seen = 0
         self.lost_since = 0.0
+        # marginalization prior for VI frame tracking
+        # (ref: Frame::mpcpi ConstraintPoseImu; None => anchor at last KF)
+        self.prior: dict | None = None
+        self._pre_frame = None  # preint (last frame -> current), set per frame
 
     # ------------------------------------------------------------------ util
     def _project(self, R, t, X):
@@ -123,6 +129,120 @@ class Tracker:
             self.bf,
         )
         return np.asarray(Rf), np.asarray(tf), np.asarray(inl)[:n], sel
+
+    def _pose_opt_vi(self, frame: Frame, mp_ids):
+        """Visual-inertial frame optimization (ref: TrackLocalMap's
+        PoseInertialOptimizationLastKeyFrame Optimizer.cc:7479 /
+        ...LastFrame :7874). Anchor = last KF right after a map update,
+        else = last frame constrained by the marginalization prior
+        (ConstraintPoseImu); the solve returns the next frame's prior.
+
+        Returns (inliers, sel) and writes pose/vel/bias into `frame`;
+        None if the inertial chain isn't usable this frame (caller falls
+        back to visual-only pose optimization)."""
+        from ..solve.pose_inertial import pose_inertial_solve
+        from ..utils.pad import bucket, pad_to
+        from .inertial import preintegrate_window
+
+        m = self.map
+        calib = self.imu_calib
+        last = self.last_frame
+        use_kf_anchor = (
+            self.prior is None
+            or m.map_version != self.map_version_seen
+            or self.frames_since_kf == 0
+        )
+        if use_kf_anchor:
+            kf = self.last_kf
+            if kf < 0 or not m.kf_valid[kf]:
+                return None
+            t0 = float(m.kf_time[kf])
+            if frame.time <= t0:
+                return None
+            bg1, ba1 = m.kf_bg[kf].copy(), m.kf_ba[kf].copy()
+            bg0, ba0 = bg1, ba1          # integration bias of the window
+            pre, _ = preintegrate_window(
+                self.imu_since_kf, t0, frame.time, bg1, ba1, calib)
+            R1, p1 = calib.body_from_cam(m.kf_R[kf], m.kf_t[kf])
+            v1 = m.kf_vel[kf].copy()
+            prior_H = np.zeros((15, 15))
+            anchor_fixed = True
+        else:
+            if last is None or last.v is None or self._pre_frame is None:
+                return None
+            pre = self._pre_frame     # integrated at (self.bg, self.ba)
+            bg0, ba0 = self.bg.copy(), self.ba.copy()
+            bg1, ba1 = last.bg, last.ba
+            if bg1 is None:
+                bg1, ba1 = self.bg, self.ba
+            R1, p1 = calib.body_from_cam(last.R, last.t)
+            v1 = last.v
+            prior_H = self.prior["H"]
+            anchor_fixed = False
+        dT = max(float(pre["dT"]), 1e-6)
+        from ..imu.preintegration import information_from_cov
+        info9 = np.asarray(information_from_cov(
+            jnp.asarray(np.asarray(pre["C"])[:9, :9].astype(np.float64))))
+        _, _, wg2, wa2 = calib.discrete_cov()
+        # visual observations
+        sel = np.nonzero(mp_ids >= 0)[0]
+        n = len(sel)
+        if n < 3:
+            return None
+        nb = bucket(n, 256)
+        X = pad_to(m.mp_pos[mp_ids[sel]], nb)
+        und = frame.feats.und_xy[sel]
+        if frame.feats.u_right is not None:
+            ur = frame.feats.u_right[sel]
+            stereo = ur >= 0
+        else:
+            ur = np.zeros(n)
+            stereo = np.zeros(n, bool)
+        uvr = pad_to(np.concatenate([und, ur[:, None]], 1), nb)
+        st = pad_to(stereo, nb, False)
+        inv_s2 = pad_to(self.inv_sigma2[frame.feats.octave[sel]], nb)
+        valid = np.zeros(nb, bool)
+        valid[:n] = True
+        # frame initial state (from the current visual/IMU estimate)
+        R2, p2 = calib.body_from_cam(frame.R, frame.t)
+        v2 = frame.v if frame.v is not None else v1
+        pr = self.prior if not anchor_fixed else None
+        out = pose_inertial_solve(
+            jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(v1),
+            jnp.asarray(bg1), jnp.asarray(ba1),
+            jnp.asarray(R2), jnp.asarray(p2), jnp.asarray(v2),
+            jnp.asarray(self.bg), jnp.asarray(self.ba),
+            jnp.asarray(X), jnp.asarray(uvr), jnp.asarray(inv_s2),
+            jnp.asarray(st), jnp.asarray(valid),
+            jax.tree.map(lambda x: jnp.asarray(np.asarray(x, np.float64)),
+                         dict(pre)),
+            jnp.asarray(info9),
+            jnp.asarray(bg0), jnp.asarray(ba0),
+            1.0 / (wg2 * dT), 1.0 / (wa2 * dT),
+            jnp.asarray(prior_H),
+            jnp.asarray(pr["R"]) if pr else jnp.asarray(R1),
+            jnp.asarray(pr["p"]) if pr else jnp.asarray(p1),
+            jnp.asarray(pr["v"]) if pr else jnp.asarray(v1),
+            jnp.asarray(pr["bg"]) if pr else jnp.asarray(bg1),
+            jnp.asarray(pr["ba"]) if pr else jnp.asarray(ba1),
+            anchor_fixed,
+            jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
+            self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
+            self.bf,
+        )
+        Rb, pb, vb, bgf, baf, inl, H15, _ = out
+        Rb, pb = np.asarray(Rb), np.asarray(pb)
+        if not np.all(np.isfinite(Rb)) or not np.all(np.isfinite(pb)):
+            return None
+        frame.R, frame.t = calib.cam_from_body(Rb, pb)
+        frame.v = np.asarray(vb)
+        frame.bg = np.asarray(bgf)
+        frame.ba = np.asarray(baf)
+        self.bg, self.ba = frame.bg.copy(), frame.ba.copy()
+        self.prior = dict(H=np.asarray(H15), R=Rb, p=pb, v=frame.v,
+                          bg=frame.bg, ba=frame.ba)
+        self.map_version_seen = m.map_version
+        return np.asarray(inl)[:n], sel
 
     # ------------------------------------------------------------------ main
     def track(self, img, time: float, imu=None, img_right=None, depth=None):
@@ -178,6 +298,7 @@ class Tracker:
         from .inertial import preintegrate_window
 
         last = self.last_frame
+        self._pre_frame = None
         if (not self.use_imu or not self.map.imu_initialized
                 or last is None or last.R is None or last.v is None):
             return None
@@ -186,14 +307,14 @@ class Tracker:
             self.imu_calib)
         if float(pre["dT"]) <= 0:
             return None
-        Rwb = last.R.T.astype(np.float64)
-        p = last.center().astype(np.float64)
+        self._pre_frame = pre
+        Rwb, p = self.imu_calib.body_from_cam(last.R, last.t)
         Rwb2, p2, v2 = predict_state(
             jnp.asarray(Rwb), jnp.asarray(p), jnp.asarray(last.v),
             jax.tree.map(lambda x: jnp.asarray(np.asarray(x, np.float64)), pre))
-        Rwb2 = np.asarray(Rwb2)
-        p2 = np.asarray(p2)
-        return Rwb2.T, -Rwb2.T @ p2, np.asarray(v2)
+        Rcw, tcw = self.imu_calib.cam_from_body(np.asarray(Rwb2),
+                                                np.asarray(p2))
+        return Rcw, tcw, np.asarray(v2)
 
     # ---------------------------------------------------------------- init
     def _initialize_mono(self, frame: Frame):
@@ -398,8 +519,11 @@ class Tracker:
             ok = self._track_local_map(frame)
         if ok:
             self.state = State.OK
-            # velocity state for the next frame
-            if pred is not None:
+            # velocity state for the next frame (the VI frame optimization
+            # already estimated it; frame.bg marks that path)
+            if frame.bg is not None:
+                pass
+            elif pred is not None:
                 dt = frame.time - self.last_frame.time
                 p_pred = -pred[0].T @ pred[1]
                 corr = (frame.center() - p_pred) / dt if dt > 0 else 0.0
@@ -457,6 +581,7 @@ class Tracker:
         self.last_kf = -1
         self.imu_since_kf = []
         self.frames_since_kf = 0
+        self.prior = None
 
     def _track_motion_model(self, frame: Frame, R0, t0):
         """ref: TrackWithMotionModel (Tracking.cc:1879) — project last
@@ -672,8 +797,15 @@ class Tracker:
             )
             ok = midx >= 0
             frame.mp[midx[ok]] = cand[ok]
-        Rf, tf, inl, osel = self._pose_opt(frame.R, frame.t, frame, frame.mp)
-        frame.R, frame.t = Rf, tf
+        vi = None
+        if self.use_imu and m.imu_initialized:
+            vi = self._pose_opt_vi(frame, frame.mp)
+        if vi is not None:
+            inl, osel = vi
+        else:
+            Rf, tf, inl, osel = self._pose_opt(
+                frame.R, frame.t, frame, frame.mp)
+            frame.R, frame.t = Rf, tf
         inlier_ids = frame.mp[osel[inl]]
         m.mp_found[inlier_ids] += 1
         frame.mp[osel[~inl]] = -1
@@ -756,6 +888,10 @@ class Tracker:
         m = self.map
         self.bg = m.kf_bg[kf].copy()
         self.ba = m.kf_ba[kf].copy()
+        # mapping may have moved the anchor state: drop the marginalization
+        # prior, the next frame re-anchors at this KF (ref: mbMapUpdated
+        # switch in TrackLocalMap, Tracking.cc:2004-2010)
+        self.prior = None
         if m.imu_initialized:
             frame.v = m.kf_vel[kf].copy()
         if m.map_version != self.map_version_seen:

@@ -38,6 +38,40 @@ class ImuCalib:
     freq: float = 200.0
     Tbc: np.ndarray | None = None  # body<-camera 4x4 (None = identity)
 
+    # --- camera<->body extrinsic pieces (X_b = Rbc X_c + tbc; the YAML/ref
+    # `Tbc` is the camera-to-body transform, IMU::Calib ImuTypes.h:87)
+    @property
+    def Rbc(self) -> np.ndarray:
+        return np.eye(3) if self.Tbc is None else np.asarray(
+            self.Tbc[:3, :3], np.float64)
+
+    @property
+    def tbc(self) -> np.ndarray:
+        return np.zeros(3) if self.Tbc is None else np.asarray(
+            self.Tbc[:3, 3], np.float64)
+
+    @property
+    def Rcb(self) -> np.ndarray:
+        """X_c = Rcb X_b + tcb."""
+        return self.Rbc.T
+
+    @property
+    def tcb(self) -> np.ndarray:
+        return -self.Rbc.T @ self.tbc
+
+    def body_from_cam(self, Rcw, tcw):
+        """Camera pose Tcw -> body state (Rwb, p_wb): Twb = Twc o Tcb
+        (ref KeyFrame::GetImuRotation/GetImuPosition)."""
+        Rwc = np.asarray(Rcw).T
+        Ow = -Rwc @ np.asarray(tcw)
+        return Rwc @ self.Rcb, Rwc @ self.tcb + Ow
+
+    def cam_from_body(self, Rwb, p):
+        """Body state -> camera pose Tcw: Twc = Twb o Tbc."""
+        Rwc = np.asarray(Rwb) @ self.Rbc
+        Ow = np.asarray(Rwb) @ self.tbc + np.asarray(p)
+        return Rwc.T, -Rwc.T @ Ow
+
     def discrete_cov(self):
         f = self.freq
         ng2 = self.noise_gyro ** 2 * f

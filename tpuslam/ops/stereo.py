@@ -59,6 +59,56 @@ def stereo_match(bits_l, bits_r, xy_l, xy_r, oct_l, oct_r, valid_l, valid_r,
     return u_r, d, ok & (d > 1e-3)
 
 
+@functools.partial(jax.jit, static_argnames=("w", "L"))
+def sad_refine(img_l, img_r, xy_l, u_r0, ok, w: int = 5, L: int = 5):
+    """Image-SAD sub-pixel refinement of the stereo winner
+    (ref: Frame::ComputeStereoMatches sliding-window SAD + parabola,
+    src/Frame.cc:869-930): an 11x11 center-normalized patch around the left
+    keypoint is slid +-L pixels along the right epipolar row; the best SAD
+    and a parabolic fit of its neighbors give the sub-pixel u_r.
+
+    Divergence from the reference: patches are taken from the level-0
+    images for every octave (the ref gathers from the feature's pyramid
+    level); one gather shape keeps this a single dispatch.
+
+    Returns (u_r [N], best_sad [N], ok [N]) — matches whose best offset
+    lands on the search border or whose parabola leaves [-1, 1] are
+    rejected, like the reference's `continue`.
+    """
+    H, W = img_l.shape
+    dtype = img_l.dtype
+    N = xy_l.shape[0]
+    dy, dx = jnp.meshgrid(jnp.arange(-w, w + 1), jnp.arange(-w, w + 1),
+                          indexing="ij")
+    ui = jnp.round(xy_l[:, 0]).astype(jnp.int32)
+    vi = jnp.round(xy_l[:, 1]).astype(jnp.int32)
+    iy = jnp.clip(vi[:, None, None] + dy[None], 0, H - 1)
+    ixl = jnp.clip(ui[:, None, None] + dx[None], 0, W - 1)
+    pl = img_l[iy, ixl]                                   # [N,P,P]
+    pl = pl - pl[:, w: w + 1, w: w + 1]
+    ur0 = jnp.round(u_r0).astype(jnp.int32)
+    offs = jnp.arange(-L, L + 1)
+    ixr = jnp.clip(
+        ur0[:, None, None, None] + offs[None, :, None, None]
+        + dx[None, None], 0, W - 1)                       # [N,2L+1,P,P]
+    pr = img_r[iy[:, None], ixr]
+    pr = pr - pr[:, :, w: w + 1, w: w + 1]
+    sad = jnp.sum(jnp.abs(pl[:, None] - pr), axis=(-2, -1))  # [N,2L+1]
+    best = jnp.argmin(sad, axis=1)
+    d2 = jnp.take_along_axis(sad, best[:, None], 1)[:, 0]
+    interior = (best > 0) & (best < 2 * L)
+    bi = jnp.clip(best, 1, 2 * L - 1)
+    d1 = jnp.take_along_axis(sad, (bi - 1)[:, None], 1)[:, 0]
+    d3 = jnp.take_along_axis(sad, (bi + 1)[:, None], 1)[:, 0]
+    denom = d1 + d3 - 2.0 * d2
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      (d1 - d3) / (2.0 * jnp.maximum(denom, 1e-9)), 0.0)
+    good = ok & interior & (jnp.abs(delta) <= 1.0) & (denom > 0)
+    u_r = ur0.astype(dtype) + (bi - L).astype(dtype) + delta
+    u_r = jnp.where(good, u_r, u_r0)
+    return u_r, d2, good
+
+
 def depth_from_disparity(disp, bf):
     """z = fx*b / d (bf = fx * baseline, the reference's Camera.bf)."""
     return jnp.where(disp > 1e-3, bf / jnp.maximum(disp, 1e-3), -1.0)

@@ -33,19 +33,22 @@ from .ba import _inv3x3, build_obs_pairs
 
 
 def _reproj_parts(Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-                  fx, fy, cx, cy, bf, robust):
+                  fx, fy, cx, cy, bf, robust, Rcb=None, tcb=None):
     """Residuals + Jacobians wrt body-frame increments (dp, dphi) and X.
 
-    Xc = Rwb^T (X - p)  (body == camera; Tbc support via pre-multiplied
-    calib is a caller-side transform). Updates: p'=p+Rwb dp,
-    Rwb'=Rwb Exp(dphi)  =>  dXc/ddp = -I, dXc/ddphi = hat(Xc),
-    dXc/dX = Rwb^T.
+    Xb = Rwb^T (X - p); Xc = Rcb Xb + tcb (camera<-body extrinsic; identity
+    when Rcb/tcb are None). Updates: p'=p+Rwb dp, Rwb'=Rwb Exp(dphi)
+    =>  dXc/ddp = -Rcb, dXc/ddphi = Rcb hat(Xb), dXc/dX = Rcb Rwb^T.
     """
     dtype = X.dtype
     Rk = Rwb[obs_kf]
     pk = p[obs_kf]
     Xo = X[obs_pt]
-    Xc = jnp.einsum("oji,oj->oi", Rk, Xo - pk)  # Rwb^T (X - p)
+    Xb = jnp.einsum("oji,oj->oi", Rk, Xo - pk)  # Rwb^T (X - p)
+    if Rcb is None:
+        Xc = Xb
+    else:
+        Xc = Xb @ Rcb.T + tcb
     x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     inv_z = 1.0 / zs
@@ -60,10 +63,16 @@ def _reproj_parts(Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
     dv = jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], -1)
     dur = du + jnp.stack([zeros, zeros, bf * inv_z2], -1)
     Jproj = jnp.stack([du, dv, dur * smask[..., None]], -2)  # [O,3,3]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Xc.shape + (3,))
-    dXc_du = jnp.concatenate([-eye, hat(Xc)], -1)  # [O,3,6]
+    if Rcb is None:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Xb.shape + (3,))
+        dXc_du = jnp.concatenate([-eye, hat(Xb)], -1)  # [O,3,6]
+        Jl = Jproj @ jnp.swapaxes(Rk, -1, -2)          # wrt X
+    else:
+        nRcb = jnp.broadcast_to(-Rcb, Xb.shape + (3,))
+        dXc_du = jnp.concatenate(
+            [nRcb, jnp.einsum("ij,ojk->oik", Rcb, hat(Xb))], -1)
+        Jl = Jproj @ jnp.einsum("ij,okj->oik", Rcb, Rk)  # Rcb @ Rk^T
     Jp = Jproj @ dXc_du                             # wrt (dp, dphi)
-    Jl = Jproj @ jnp.swapaxes(Rk, -1, -2)           # wrt X
     chi2 = jnp.sum(r * r, -1) * inv_sigma2
     chi2_th = jnp.where(stereo, CHI2_STEREO, CHI2_MONO).astype(dtype)
     w_rob = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
@@ -129,6 +138,7 @@ def vi_ba_solve(
     fixed_pose, pair_a, pair_b,
     fx, fy, cx, cy, bf,
     rw_info_g, rw_info_a,        # [E] scalars (bias random-walk info)
+    Rcb=None, tcb=None,          # camera<-body extrinsic (None = identity)
     prior_g: float = 0.0, prior_a: float = 0.0,
     n_iters: int = 10, robust: bool = True,
     opt_bias: bool = True, opt_vel: bool = True,
@@ -148,7 +158,7 @@ def vi_ba_solve(
         Rwb, p, v, bg, ba, X = state
         r, Jp6, Jl, w, cost_v = _reproj_parts(
             Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-            fx, fy, cx, cy, bf, True if robust else False,
+            fx, fy, cx, cy, bf, True if robust else False, Rcb, tcb,
         )
         # landmark blocks
         Jl_w = Jl * w[:, None, None]
@@ -253,7 +263,7 @@ def vi_ba_solve(
         Rwb, p, v, bg, ba, X = state
         _, _, _, _, c_v = _reproj_parts(
             Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-            fx, fy, cx, cy, bf, True if robust else False)
+            fx, fy, cx, cy, bf, True if robust else False, Rcb, tcb)
         ri = _edge_res(
             jnp.zeros(15, dtype), jnp.zeros(15, dtype),
             Rwb[edges_a], p[edges_a], v[edges_a], bg[edges_a], ba[edges_a],

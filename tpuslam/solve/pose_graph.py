@@ -20,7 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.lie import sim3_compose, sim3_exp, sim3_inverse, sim3_log
+from ..core.lie import (se3_compose, se3_inverse, se3_log, sim3_compose,
+                        sim3_exp, sim3_inverse, sim3_log)
 
 
 def _edge_residual(eps_i, eps_j, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
@@ -118,9 +119,118 @@ def pose_graph_solve(s, R, t, edges_i, edges_j, s_m, R_m, t_m, edge_w,
     return state + (cost,)
 
 
+def _edge4_residual(eps_i, eps_j, Ri, ti, Rj, tj, Rm, tm):
+    """6-dim SE(3) residual with 4-dim world-frame increments
+    (tau[3], yaw) per vertex (ref Edge4DoF / VertexPose4DoF
+    src/G2oTypes.h:833,152): after gravity alignment only yaw and
+    translation are unobservable under inertial constraints, so pitch and
+    roll stay pinned. Update: Tcw' = Tcw o G^-1, G = (Rz(yaw), tau)."""
+
+    def corr(eps, R, t):
+        c, s = jnp.cos(eps[3]), jnp.sin(eps[3])
+        z = jnp.zeros((), R.dtype)
+        o = jnp.ones((), R.dtype)
+        Rz = jnp.stack([
+            jnp.stack([c, -s, z]), jnp.stack([s, c, z]),
+            jnp.stack([z, z, o])])
+        Rn = R @ Rz.T
+        return Rn, t - Rn @ eps[:3]
+
+    Ri2, ti2 = corr(eps_i, Ri, ti)
+    Rj2, tj2 = corr(eps_j, Rj, tj)
+    Rji, tji = se3_inverse(Rj2, tj2)
+    R1, t1 = se3_compose(Ri2, ti2, Rji, tji)
+    R2, t2 = se3_compose(Rm, tm, R1, t1)
+    return se3_log(R2, t2)
+
+
+_edge4_res = jax.vmap(_edge4_residual, in_axes=(None, None) + (0,) * 6)
+_edge4_jac = jax.vmap(
+    jax.jacfwd(_edge4_residual, argnums=(0, 1)),
+    in_axes=(None, None) + (0,) * 6,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def pose_graph_solve_4dof(R, t, edges_i, edges_j, R_m, t_m, edge_w,
+                          fixed, n_iters: int = 20, lam: float = 1e-6):
+    """4DoF (yaw + translation) essential graph for inertial maps
+    (ref: OptimizeEssentialGraph4DoF Optimizer.cc:8305). Same dense
+    blocked structure as the Sim3 solve, D=4. Returns (R, t, cost)."""
+    K = R.shape[0]
+    D = 4
+    dtype = t.dtype
+    z4 = jnp.zeros(D, dtype)
+
+    def res_of(state):
+        Rc, tc = state
+        return _edge4_res(z4, z4, Rc[edges_i], tc[edges_i],
+                          Rc[edges_j], tc[edges_j], R_m, t_m)
+
+    def cost_of(state):
+        r = res_of(state)
+        return jnp.sum(edge_w * jnp.sum(r * r, -1))
+
+    free = jnp.ones((K, D), bool) & ~fixed[:, None]
+    freeF = free.reshape(K * D)
+
+    def apply(state, dx):
+        Rc, tc = state
+        c, s = jnp.cos(dx[:, 3]), jnp.sin(dx[:, 3])
+        z = jnp.zeros_like(c)
+        o = jnp.ones_like(c)
+        Rz = jnp.stack([
+            jnp.stack([c, -s, z], -1), jnp.stack([s, c, z], -1),
+            jnp.stack([z, z, o], -1)], -2)
+        Rn = Rc @ jnp.swapaxes(Rz, -1, -2)
+        tn = tc - jnp.einsum("kij,kj->ki", Rn, dx[:, :3])
+        return Rn, tn
+
+    def step(carry, _):
+        state, mu, cost = carry
+        Rc, tc = state
+        args = (Rc[edges_i], tc[edges_i], Rc[edges_j], tc[edges_j], R_m, t_m)
+        r = _edge4_res(z4, z4, *args)
+        Ji, Jj = _edge4_jac(z4, z4, *args)           # [E,6,4]
+        w = edge_w[:, None, None]
+        H = jnp.zeros((K, K, D, D), dtype)
+        b = jnp.zeros((K, D), dtype)
+        JiT = jnp.swapaxes(Ji, 1, 2) * w
+        JjT = jnp.swapaxes(Jj, 1, 2) * w
+        H = H.at[edges_i, edges_i].add(JiT @ Ji)
+        H = H.at[edges_i, edges_j].add(JiT @ Jj)
+        H = H.at[edges_j, edges_i].add(JjT @ Ji)
+        H = H.at[edges_j, edges_j].add(JjT @ Jj)
+        b = b.at[edges_i].add(-jnp.einsum("eij,ej->ei", JiT, r))
+        b = b.at[edges_j].add(-jnp.einsum("eij,ej->ei", JjT, r))
+        diag = jnp.diagonal(
+            H[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1)
+        eyeD = jnp.eye(D, dtype=dtype)
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            mu * eyeD * diag[:, None, :] + lam * eyeD)
+        S = H.transpose(0, 2, 1, 3).reshape(K * D, K * D)
+        S = jnp.where(freeF[:, None] & freeF[None, :], S, 0.0)
+        S = S + jnp.diag(jnp.where(freeF, 0.0, 1.0))
+        rhs = jnp.where(freeF, b.reshape(-1), 0.0)
+        dx = jnp.linalg.solve(S, rhs).reshape(K, D)
+        new = apply(state, dx)
+        new_cost = cost_of(new)
+        accept = new_cost < cost
+        state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, state)
+        mu = jnp.clip(jnp.where(accept, mu * 0.3, mu * 5.0), 1e-9, 1e6)
+        return (state, mu, jnp.where(accept, new_cost, cost)), None
+
+    state0 = (R, t)
+    (state, _, cost), _ = jax.lax.scan(
+        step, (state0, jnp.asarray(1e-5, dtype), cost_of(state0)), None,
+        length=n_iters)
+    return state + (cost,)
+
+
 def optimize_essential_graph(m, loop_edges, corrected, fix_kf,
                              fix_scale: bool = False, min_covis_weight=100,
-                             n_iters: int = 20, old_poses=None):
+                             n_iters: int = 20, old_poses=None,
+                             four_dof: bool = False):
     """Host-side graph assembly + device solve over the map `m`
     (ref: OptimizeEssentialGraph Optimizer.cc:2347 edge selection:
     loop edges + spanning tree + covis weight >= 100).
@@ -192,6 +302,28 @@ def optimize_essential_graph(m, loop_edges, corrected, fix_kf,
     fixed = np.zeros(K, bool)
     if fix_kf in idx:
         fixed[idx[fix_kf]] = True
+    if four_dof:
+        # inertial maps: gravity pins pitch/roll, scale is metric — the
+        # graph relaxes only yaw + translation (ref LoopClosing.cc:1218-1224
+        # routes inertial loops to OptimizeEssentialGraph4DoF). Sim3 seeds/
+        # measurements collapse to SE(3): t/s.
+        Rf4, tf4, cost = pose_graph_solve_4dof(
+            jnp.asarray(R0), jnp.asarray(t0 / s0[:, None]),
+            jnp.asarray(np.array(ei, np.int32)),
+            jnp.asarray(np.array(ej, np.int32)),
+            jnp.asarray(np.stack(Rm)),
+            jnp.asarray(np.array(tm) / np.array(sm)[:, None]),
+            jnp.asarray(np.array(ew)), jnp.asarray(fixed), n_iters=n_iters,
+        )
+        Rf4 = np.asarray(Rf4)
+        tf4 = np.asarray(tf4)
+        out = {}
+        for k in kfs:
+            i = idx[int(k)]
+            out[int(k)] = (1.0, Rf4[i], tf4[i])
+            m.kf_R[k] = Rf4[i]
+            m.kf_t[k] = tf4[i]
+        return out
     sf, Rf, tf, cost = pose_graph_solve(
         jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
         jnp.asarray(np.array(ei, np.int32)), jnp.asarray(np.array(ej, np.int32)),
