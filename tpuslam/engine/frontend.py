@@ -33,8 +33,10 @@ class Frontend:
         from ..ops.stereo import (depth_from_disparity, sad_refine,
                                   stereo_match)
 
-        f = self.process(img_l)
-        out_r = self.extractor(jnp.asarray(img_r, jnp.float32))
+        # both images through ONE batched extraction dispatch (replaces the
+        # reference's L/R std::thread pair, Frame.cc:109-112)
+        out_l, out_r = self.extractor.extract_pair(img_l, img_r)
+        f = self._features_from(out_l)
         u_r, disp, ok = stereo_match(
             jnp.asarray(f.bits), out_r["bits"],
             jnp.asarray(f.xy), out_r["xy"],
@@ -136,6 +138,9 @@ class Frontend:
 
     def process(self, img) -> FrameFeatures:
         out = self.extractor(jnp.asarray(img, jnp.float32))
+        return self._features_from(out)
+
+    def _features_from(self, out) -> FrameFeatures:
         xy = np.asarray(out["xy"])
         und = self.camera.undistort_points(jnp.asarray(xy)) if hasattr(
             self.camera, "undistort_points"

@@ -115,6 +115,50 @@ class System:
     def get_tracking_state(self):
         return self.tracker.state
 
+    def get_tracked_map_points(self):
+        """Per-feature map-point ids of the last frame, -1 = untracked
+        (ref: System::GetTrackedMapPoints System.h:170)."""
+        f = self.tracker.last_frame
+        if f is None or f.mp is None:
+            return np.full(0, -1, np.int32)
+        return f.mp.copy()
+
+    def get_tracked_keypoints_un(self):
+        """Undistorted keypoints of the last frame
+        (ref: System::GetTrackedKeyPointsUn System.h:171)."""
+        f = self.tracker.last_frame
+        if f is None:
+            return np.zeros((0, 2))
+        return f.feats.und_xy.copy()
+
+    # --------------------------------------------------------------- modes
+    def activate_localization_mode(self):
+        """Freeze the map: tracking-only, no keyframe insertion
+        (ref: System::ActivateLocalizationMode System.h:122 sets
+        Tracking::mbOnlyTracking and pauses LocalMapping)."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        """ref: System::DeactivateLocalizationMode (System.h:124)."""
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        """Clear the whole Atlas and tracker state
+        (ref: System::Reset System.h:131 -> Tracking::Reset)."""
+        self.tracker.reset()
+
+    def reset_active_map(self):
+        """ref: System::ResetActiveMap (System.h:132)."""
+        self.tracker.reset_active_map()
+
+    def change_dataset(self):
+        """Multi-session runs: the next frame opens a new Atlas map (young
+        maps reset in place); place recognition can merge the sessions
+        later (ref: System::ChangeDataset System.h:178, used between
+        sequences in the EuRoC multi-session drivers)."""
+        self.tracker._force_new_map = True
+        self.tracker.velocity = None
+
     def shutdown(self):
         """ref: System::Shutdown (System.cc:487) — join worker threads."""
         if self.async_mapper is not None:
@@ -205,3 +249,16 @@ class System:
             p = np.asarray(twc)
             rows.append((m.kf_time[k], p[0], p[1], p[2], q[0], q[1], q[2], q[3]))
         return rows
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """ref: System::SaveKeyFrameTrajectoryTUM (System.cc:574)."""
+        with open(path, "w") as fh:
+            for row in self.keyframe_trajectory_tum():
+                fh.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """ref: System::SaveKeyFrameTrajectoryEuRoC (System.cc:730)."""
+        with open(path, "w") as fh:
+            for (t, x, y, z, qx, qy, qz, qw) in self.keyframe_trajectory_tum():
+                fh.write(f"{int(round(t * 1e9))} {x:.9f} {y:.9f} {z:.9f} "
+                         f"{qw:.9f} {qx:.9f} {qy:.9f} {qz:.9f}\n")

@@ -90,6 +90,12 @@ class Tracker:
         # (ref: Frame::mpcpi ConstraintPoseImu; None => anchor at last KF)
         self.prior: dict | None = None
         self._pre_frame = None  # preint (last frame -> current), set per frame
+        # localization-only mode (ref: mbOnlyTracking, ActivateLocalization-
+        # Mode System.h:122): track against the frozen map, no KF insertion
+        self.only_tracking = False
+        # set by System.change_dataset (ref System.h:178): next frame starts
+        # a fresh Atlas map / resets a young one
+        self._force_new_map = False
 
     # ------------------------------------------------------------------ util
     def _project(self, R, t, X):
@@ -266,6 +272,14 @@ class Tracker:
         # extraction ran lock-free; the state machine holds the map lock
         # (ref: Track() under Map::mMutexMapUpdate, Tracking.cc:921)
         with self.map.lock:
+            if self._force_new_map and self.state not in (
+                    State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+                # dataset boundary (ref: ChangeDataset -> timestamp-jump
+                # handling Tracking.cc:854-891): always open a fresh Atlas
+                # map — the old session stays and can be merged back later
+                self._force_new_map = False
+                self.map.create_new_map()
+                self._reset_tracker_state()
             if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
                 with T.stage("initialize"):
                     if self.sensor == "mono":
@@ -541,7 +555,7 @@ class Tracker:
             )
             self.velocity = (np.asarray(Rv), np.asarray(tv))
             self.frames_since_kf += 1
-            if self._need_new_keyframe(frame):
+            if not self.only_tracking and self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
         else:
             if self.state == State.OK:
@@ -567,13 +581,46 @@ class Tracker:
         m = self.map
         if len(m.valid_kf_ids()) >= 10:
             m.create_new_map()
+            self._reset_tracker_state()
         else:
+            self.reset_active_map()
+
+    def reset_active_map(self):
+        """ref: Tracking::ResetActiveMap (Tracking.cc:2857) — drop the
+        active map's KFs/MPs and restart initialization in place."""
+        m = self.map
+        with m.lock:
             for k in m.valid_kf_ids():
                 for slot in np.nonzero(m.kf_mp[k] >= 0)[0]:
                     mp = int(m.kf_mp[k, slot])
                     if m.mp_valid[mp]:
                         m.set_bad_point(mp)
                 m.kf_valid[k] = False
+                if self.loop_closer is not None:
+                    self.loop_closer.on_kf_erased(k)
+        self._reset_tracker_state()
+
+    def reset(self):
+        """ref: Tracking::Reset (Tracking.cc:2792) — clear every Atlas map
+        and all tracker state."""
+        m = self.map
+        with m.lock:
+            for k in m.valid_kf_ids(all_maps=True):
+                m.kf_valid[k] = False
+                if self.loop_closer is not None:
+                    self.loop_closer.on_kf_erased(k)
+            m.mp_valid[: m.n_mp] = False
+            m.create_new_map()
+            m.imu_initialized = False
+            m.map_version += 1
+        self._reset_tracker_state()
+        self.last_frame = None
+        self.trajectory = []
+        self.bg = np.zeros(3)
+        self.ba = np.zeros(3)
+        self.frame_id = 0
+
+    def _reset_tracker_state(self):
         self.state = State.NO_IMAGES_YET
         self.init_frame = None
         self.velocity = None

@@ -194,6 +194,13 @@ class OrbExtractor:
             functools.partial(_extract_impl, cfg=self.cfg),
             static_argnames=(),
         )
+        # batched variant: both stereo images in ONE dispatch (replaces the
+        # reference's L/R extraction thread pair, src/Frame.cc:109-112 —
+        # on TPU the batch dimension parallelizes instead of threads)
+        def _impl(img, ini_th, min_th):
+            return _extract_impl(img, self.cfg, ini_th, min_th)
+
+        self._fn_batch = jax.jit(jax.vmap(_impl, in_axes=(0, None, None)))
 
     def __call__(self, img, ini_th=None, min_th=None) -> dict[str, Any]:
         assert img.shape == (self.height, self.width)
@@ -202,3 +209,17 @@ class OrbExtractor:
             ini_th=float(ini_th if ini_th is not None else self.cfg.ini_th),
             min_th=float(min_th if min_th is not None else self.cfg.min_th),
         )
+
+    def extract_pair(self, img_l, img_r, ini_th=None, min_th=None):
+        """One kernel launch over a [2, H, W] batch; returns (out_l, out_r)
+        dicts with the same fields as __call__."""
+        batch = jnp.stack([jnp.asarray(img_l, jnp.float32),
+                           jnp.asarray(img_r, jnp.float32)])
+        out = self._fn_batch(
+            batch,
+            float(ini_th if ini_th is not None else self.cfg.ini_th),
+            float(min_th if min_th is not None else self.cfg.min_th),
+        )
+        out_l = {k: v[0] for k, v in out.items()}
+        out_r = {k: v[1] for k, v in out.items()}
+        return out_l, out_r
