@@ -39,6 +39,23 @@ class LocalMapper:
         self.imu_init_time: float | None = None
         self.viba_stage = 0  # 0: pre-init, 1: init done, 2: VIBA1, 3: VIBA2
         self._last_refine = -1e9
+        # debug-dump records (ref: System::SaveDebugData IMU-init internals,
+        # System.cc:836-889): (event, t, n_kfs, bg, ba)
+        self.debug_events: list[dict] = []
+
+    def _record(self, event: str, t_now: float):
+        from ..utils.verbose import Level, print_mess
+
+        m = self.map
+        chain = m.temporal_chain()
+        last = chain[-1] if chain else -1
+        self.debug_events.append(dict(
+            event=event, t=t_now, n_kfs=len(chain),
+            bg=(m.kf_bg[last].tolist() if last >= 0 else None),
+            ba=(m.kf_ba[last].tolist() if last >= 0 else None),
+        ))
+        print_mess(f"[local_mapping] {event} t={t_now:.3f} kfs={len(chain)}",
+                   Level.NORMAL)
 
     # ------------------------------------------------------------------ main
     def on_new_keyframe(self, kf: int):
@@ -90,6 +107,7 @@ class LocalMapper:
                     prior_g=icfg.prior_g1, prior_a=icfg.prior_a1)
                 self.imu_init_time = t_now
                 self.viba_stage = 1
+                self._record("imu_init", t_now)
             return
         elapsed = t_now - self.imu_init_time
         if self.viba_stage == 1 and elapsed > icfg.viba1_time:
@@ -98,12 +116,14 @@ class LocalMapper:
                 prior_g=icfg.prior_g2, prior_a=icfg.prior_a2)
             m.inertial_ba1 = True
             self.viba_stage = 2
+            self._record("viba1", t_now)
         elif self.viba_stage == 2 and elapsed > icfg.viba2_time:
             full_inertial_ba(
                 m, self.camera, self.imu_calib, self.inv_sigma2,
                 prior_g=0.0, prior_a=0.0)
             m.inertial_ba2 = True
             self.viba_stage = 3
+            self._record("viba2", t_now)
         elif self.viba_stage < 3 and elapsed < icfg.scale_refine_until \
                 and t_now - self._last_refine > icfg.scale_refine_period:
             # periodic JOINT full VI BA + (mono) inertial-only scale/gravity

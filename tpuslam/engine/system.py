@@ -229,6 +229,29 @@ class System:
                 row = np.concatenate([Rwc, twc[:, None]], axis=1).reshape(-1)
                 fh.write(" ".join(f"{v:.9e}" for v in row) + "\n")
 
+    def save_debug_data(self, path: str):
+        """Session/IMU-init debug dump as JSON
+        (ref: System::SaveDebugData System.cc:836-889 writes the IMU-init
+        internals + per-stage LBA info; here: init/VIBA events with bias
+        trajectories, loop closures, map counters, stage timings)."""
+        import json
+        from ..utils.timing import GLOBAL_TIMER
+
+        m = self.map
+        data = dict(
+            imu_events=list(getattr(self.local_mapper, "debug_events", [])),
+            loops_closed=(self.loop_closer.n_loops_closed
+                          if self.loop_closer else 0),
+            keyframes=int(len(m.valid_kf_ids(all_maps=True))),
+            map_points=int(m.mp_valid[: m.n_mp].sum()),
+            maps=[int(x) for x in m.map_ids()],
+            imu_initialized=bool(m.imu_initialized),
+            tracking_state=self.tracker.state.name,
+            stage_ms=GLOBAL_TIMER.summary(),
+        )
+        with open(path, "w") as fh:
+            json.dump(data, fh, indent=1)
+
     # ---------------------------------------------------------- checkpointing
     def save_checkpoint(self, path: str):
         from ..map.checkpoint import save_map

@@ -46,10 +46,22 @@ class Settings:
     imu_calib: ImuCalib | None
     Tbc: np.ndarray | None
     raw: dict
+    rectification: dict | None = None  # {left: {K,D,R,P}, right: {...},
+    #                                     height, width} (ref LEFT./RIGHT.)
 
     @property
     def has_imu(self):
         return self.imu_calib is not None
+
+    def make_rectifier(self):
+        """StereoRectifier from the LEFT./RIGHT. blocks, or None
+        (ref: the stereo drivers' initUndistortRectifyMap stage)."""
+        if self.rectification is None:
+            return None
+        from .rectify import StereoRectifier
+        r = self.rectification
+        return StereoRectifier(r["left"], r["right"], r["height"],
+                               r["width"])
 
 
 def load_settings(path: str, width: int | None = None,
@@ -113,5 +125,22 @@ def load_settings(path: str, width: int | None = None,
         if get("Tbc") is not None:
             Tbc = _parse_opencv_matrix(get("Tbc"))
             imu_calib.Tbc = Tbc
+    # stereo rectification blocks (ref: Tracking.cc:274-295 LEFT./RIGHT.
+    # {K, D, R, P, height, width} for non-prerectified stereo pairs)
+    rect = None
+    if get("LEFT.K") is not None and get("RIGHT.K") is not None:
+        def side(prefix):
+            return dict(
+                K=_parse_opencv_matrix(get(f"{prefix}.K")),
+                D=_parse_opencv_matrix(get(f"{prefix}.D")).reshape(-1),
+                R=_parse_opencv_matrix(get(f"{prefix}.R")),
+                P=_parse_opencv_matrix(get(f"{prefix}.P")),
+            )
+        rect = dict(
+            left=side("LEFT"), right=side("RIGHT"),
+            height=int(get("LEFT.height", h)),
+            width=int(get("LEFT.width", w)),
+        )
     return Settings(camera=camera, cfg=cfg, bf=bf, fps=fps,
-                    imu_calib=imu_calib, Tbc=Tbc, raw=raw)
+                    imu_calib=imu_calib, Tbc=Tbc, raw=raw,
+                    rectification=rect)

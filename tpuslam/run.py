@@ -20,7 +20,10 @@ def build_argparser():
     p.add_argument("--dataset", required=True,
                    choices=["euroc", "kitti", "tum_rgbd", "tum_vi", "csv",
                             "synthetic"])
-    p.add_argument("--path", default="", help="sequence root directory")
+    p.add_argument("--path", default="",
+                   help="sequence root directory; comma-separate several "
+                        "for a multi-session Atlas run (ref: "
+                        "euroc_eval_examples.sh MH01->MH05 ChangeDataset)")
     p.add_argument("--settings", default="", help="reference-style YAML")
     p.add_argument("--sensor", default="mono",
                    choices=["mono", "stereo", "rgbd", "mono_imu",
@@ -49,19 +52,22 @@ def main(argv=None):
     from .io import datasets as D
     from .io.settings import load_settings
 
-    if args.dataset == "euroc" or args.dataset == "tum_vi":
-        seq = D.load_euroc(args.path, stereo="stereo" in args.sensor,
-                           with_imu="imu" in args.sensor)
-    elif args.dataset == "kitti":
-        seq = D.load_kitti(args.path, stereo="stereo" in args.sensor)
-    elif args.dataset == "tum_rgbd":
-        seq = D.load_tum_rgbd(args.path)
-    elif args.dataset == "csv":
-        import os
-        seq = D.load_csv_sequence(args.path,
-                                  os.path.dirname(args.path) or ".")
-    else:
+    def load_one(path):
+        if args.dataset == "euroc" or args.dataset == "tum_vi":
+            return D.load_euroc(path, stereo="stereo" in args.sensor,
+                                with_imu="imu" in args.sensor)
+        elif args.dataset == "kitti":
+            return D.load_kitti(path, stereo="stereo" in args.sensor)
+        elif args.dataset == "tum_rgbd":
+            return D.load_tum_rgbd(path)
+        elif args.dataset == "csv":
+            import os
+            return D.load_csv_sequence(path, os.path.dirname(path) or ".")
         raise SystemExit("use tests for the synthetic dataset")
+
+    paths = [p_ for p_ in args.path.split(",") if p_]
+    seqs = [load_one(p_) for p_ in paths]
+    seq = seqs[0]
 
     st = load_settings(args.settings)
     sensor = {
@@ -77,26 +83,39 @@ def main(argv=None):
                   imu_calib=st.imu_calib if "imu" in args.sensor else None,
                   vocab=vocab, bf=st.bf)
 
-    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
-    t_prev = None
+    rectifier = st.make_rectifier() if "stereo" in args.sensor else None
     times_ms = []
-    for i in range(n):
-        t = float(seq.times[i])
-        imu = seq.imu_between(t_prev, t) if (
-            "imu" in args.sensor and t_prev is not None) else None
-        tic = time.perf_counter()
-        if args.sensor in ("stereo", "stereo_imu"):
-            slam.track_stereo(seq.frame(i), seq.frame_right(i), t, imu=imu)
-        elif args.sensor == "rgbd":
-            slam.track_rgbd(seq.frame(i),
-                            seq.depth(i, st.cfg.depth_map_factor), t)
-        else:
-            slam.track_monocular(seq.frame(i), t, imu=imu)
-        times_ms.append((time.perf_counter() - tic) * 1e3)
-        t_prev = t
-        if args.timing and i % 50 == 0:
-            print(f"[{i}/{n}] median frame {np.median(times_ms[-50:]):.1f} ms",
-                  file=sys.stderr)
+    n_total = 0
+    for s_i, sq in enumerate(seqs):
+        if s_i > 0:
+            # multi-session Atlas run (ref: System::ChangeDataset between
+            # sequences, Examples/.../stereo_inertial_euroc.cc multi-seq)
+            slam.change_dataset()
+        n = len(sq) if args.max_frames <= 0 else min(len(sq),
+                                                     args.max_frames)
+        n_total += n
+        t_prev = None
+        for i in range(n):
+            t = float(sq.times[i])
+            imu = sq.imu_between(t_prev, t) if (
+                "imu" in args.sensor and t_prev is not None) else None
+            tic = time.perf_counter()
+            if args.sensor in ("stereo", "stereo_imu"):
+                im_l, im_r = sq.frame(i), sq.frame_right(i)
+                if rectifier is not None:
+                    im_l, im_r = rectifier(im_l, im_r)
+                slam.track_stereo(im_l, im_r, t, imu=imu)
+            elif args.sensor == "rgbd":
+                slam.track_rgbd(sq.frame(i),
+                                sq.depth(i, st.cfg.depth_map_factor), t)
+            else:
+                slam.track_monocular(sq.frame(i), t, imu=imu)
+            times_ms.append((time.perf_counter() - tic) * 1e3)
+            t_prev = t
+            if args.timing and i % 50 == 0:
+                print(f"[seq{s_i} {i}/{n}] median frame "
+                      f"{np.median(times_ms[-50:]):.1f} ms", file=sys.stderr)
+    n = n_total
 
     writer = {"tum": slam.save_trajectory_tum,
               "euroc": slam.save_trajectory_euroc,
