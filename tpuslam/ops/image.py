@@ -20,25 +20,21 @@ def gaussian_kernel1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
 
 
 def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
-    """Separable Gaussian blur with reflect padding on [H, W] f32."""
-    k = jnp.asarray(gaussian_kernel1d(ksize, sigma), img.dtype)
+    """Separable Gaussian blur with reflect padding on [H, W] f32.
+
+    Shift-and-add formulation: each 1D pass is a weighted sum of `ksize`
+    statically-shifted copies — pure VPU elementwise work that XLA fuses,
+    instead of a channels=1 convolution (which maps terribly onto the MXU
+    and cost ~5 ms/frame across the pyramid)."""
+    k = gaussian_kernel1d(ksize, sigma)
     r = ksize // 2
-    # rows
+    h, w = img.shape
     p = jnp.pad(img, ((0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        p[None, None, :, :],
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    # cols
+    x = sum(float(k[i]) * jax.lax.slice(p, (0, i), (h, i + w))
+            for i in range(ksize))
     p = jnp.pad(x, ((r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        p[None, None, :, :],
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
+    x = sum(float(k[i]) * jax.lax.slice(p, (i, 0), (i + h, w))
+            for i in range(ksize))
     return x
 
 
