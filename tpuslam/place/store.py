@@ -17,6 +17,8 @@ def save_vocabulary(vocab: BinaryVocabulary, path: str):
     arrays = {f"level_{i}": d for i, d in enumerate(vocab.level_descs)}
     arrays["word_weight"] = vocab.word_weight
     arrays["meta"] = np.array([vocab.k, vocab.L, vocab.node_level])
+    if vocab.leaf_word is not None:
+        arrays["leaf_word"] = vocab.leaf_word
     np.savez_compressed(path, **arrays)
 
 
@@ -28,4 +30,5 @@ def load_vocabulary(path: str) -> BinaryVocabulary:
         level_descs=[data[f"level_{i}"].copy() for i in range(L)],
         word_weight=data["word_weight"].copy(),
         node_level=node_level,
+        leaf_word=data["leaf_word"].copy() if "leaf_word" in data else None,
     )

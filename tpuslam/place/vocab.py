@@ -73,13 +73,19 @@ class BinaryVocabulary:
     k: int                      # branching factor
     L: int                      # depth (words = k^L leaves)
     level_descs: list           # per level l: [k^(l+1), 256] u8 node descs
-    word_weight: np.ndarray     # [k^L] idf
+    word_weight: np.ndarray     # [n_words] idf, indexed by word id
     node_level: int             # level whose ids feed node-aligned matching
                                 # (ref transform(...,4): L-4 from leaves)
+    leaf_word: np.ndarray = None  # [k^L] bottom slot -> word id (or -1);
+                                  # None = identity (complete trained tree)
 
     @property
     def n_words(self):
-        return self.k ** self.L
+        return len(self.word_weight)
+
+    def word_of(self, pos: int) -> int:
+        """Word id of bottom-level positional slot `pos`."""
+        return int(self.leaf_word[pos]) if self.leaf_word is not None else pos
 
     def transform(self, bits: np.ndarray, valid: np.ndarray):
         """bits [N,256] u8 -> (word_ids [N], node_ids [N], bow dict).
@@ -92,6 +98,8 @@ class BinaryVocabulary:
                        [jnp.asarray(d) for d in self.level_descs], self.k)
         ids = np.asarray(ids)
         word = np.where(valid, ids[self.L - 1], -1)
+        if self.leaf_word is not None:  # irregular (reference-file) tree
+            word = np.where(word >= 0, self.leaf_word[word], -1)
         node = np.where(valid, ids[self.node_level], -1)
         bow: dict[int, float] = {}
         for w in word[word >= 0]:

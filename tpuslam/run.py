@@ -28,7 +28,9 @@ def build_argparser():
     p.add_argument("--sensor", default="mono",
                    choices=["mono", "stereo", "rgbd", "mono_imu",
                             "stereo_imu"])
-    p.add_argument("--vocab", default="", help="trained vocabulary .npz")
+    p.add_argument("--vocab", default="",
+                   help="vocabulary: .npz (trained here) or the "
+                        "reference's ORBvoc.txt/.bin (loaded drop-in)")
     p.add_argument("--output", default="trajectory_tum.txt")
     p.add_argument("--format", default="tum",
                    choices=["tum", "euroc", "kitti"])
@@ -77,8 +79,12 @@ def main(argv=None):
     }[args.sensor]
     vocab = None
     if args.vocab:
-        from .place.store import load_vocabulary
-        vocab = load_vocabulary(args.vocab)
+        if args.vocab.endswith((".txt", ".bin")):  # reference ORBvoc files
+            from .place.orbvoc import load_orbvoc
+            vocab = load_orbvoc(args.vocab)
+        else:
+            from .place.store import load_vocabulary
+            vocab = load_vocabulary(args.vocab)
     slam = System(st.camera, st.cfg, sensor=sensor,
                   imu_calib=st.imu_calib if "imu" in args.sensor else None,
                   vocab=vocab, bf=st.bf)
