@@ -30,7 +30,7 @@ class Frontend:
         """Stereo frame: extract both images, row-banded stereo match for
         per-feature depth (ref: stereo Frame ctor Frame.cc:88 + L/R
         extraction threads :109-112 + ComputeStereoMatches :802)."""
-        from ..ops.stereo import (depth_from_disparity, sad_refine,
+        from ..ops.stereo import (depth_from_disparity, sad_refine_pyramid,
                                   stereo_match)
 
         # both images through ONE batched extraction dispatch (replaces the
@@ -47,9 +47,10 @@ class Frontend:
         )
         # SAD sub-pixel refinement + median-SAD outlier filter
         # (ref: Frame.cc:869-975 — thDist = 1.5 * 1.4 * median)
-        u_r, sad, ok = sad_refine(
+        u_r, sad, ok = sad_refine_pyramid(
             jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
-            jnp.asarray(f.xy), u_r, ok)
+            jnp.asarray(f.xy), jnp.asarray(f.octave), u_r, ok,
+            n_levels=self.orb_cfg.n_levels, scale=float(self.orb_cfg.scale))
         okn = np.asarray(ok)
         sadn = np.asarray(sad)
         if okn.any():

@@ -109,6 +109,81 @@ def sad_refine(img_l, img_r, xy_l, u_r0, ok, w: int = 5, L: int = 5):
     return u_r, d2, good
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("w", "L", "n_levels", "scale"))
+def sad_refine_pyramid(img_l, img_r, xy_l, octave, u_r0, ok,
+                       w: int = 5, L: int = 5,
+                       n_levels: int = 8, scale: float = 1.2):
+    """Per-octave image-SAD sub-pixel refinement (the full semantics of
+    Frame::ComputeStereoMatches, src/Frame.cc:869-930): coordinates are
+    scaled to the feature's pyramid level, the 11x11 center-normalized
+    patch is gathered FROM THAT LEVEL's image, slid +-L level-pixels along
+    the right row, and the parabola-refined offset is scaled back to
+    level-0 (ref: bestuR = mvScaleFactors[octave]*(scaleduR0+incR+deltaR)).
+
+    TPU-shaped: both pyramids are (re)built inside the jit (resize chains
+    fuse; the blur is not needed — the reference SADs the unblurred
+    mvImagePyramid) and padded into one [n_levels,H,W] stack so every
+    feature is one 3-D gather regardless of octave — no per-level loop
+    over ragged feature sets.
+    """
+    from .image import build_pyramid, pyramid_shapes
+
+    Hm, Wm = img_l.shape
+    dtype = img_l.dtype
+    shapes = pyramid_shapes(Hm, Wm, n_levels, scale)
+
+    def stack(img):
+        lv = build_pyramid(img.astype(jnp.float32), n_levels, scale)
+        return jnp.stack([
+            jnp.pad(im, ((0, Hm - im.shape[0]), (0, Wm - im.shape[1])))
+            for im in lv
+        ])
+
+    pyr_l, pyr_r = stack(img_l), stack(img_r)
+    lev_h = jnp.asarray([s[0] for s in shapes], jnp.int32)[octave]
+    lev_w = jnp.asarray([s[1] for s in shapes], jnp.int32)[octave]
+    sf = jnp.asarray(scale ** np.arange(n_levels), dtype)[octave]  # [N]
+
+    ui = jnp.round(xy_l[:, 0] / sf).astype(jnp.int32)
+    vi = jnp.round(xy_l[:, 1] / sf).astype(jnp.int32)
+    ur0 = jnp.round(u_r0 / sf).astype(jnp.int32)
+    # reference border guard: the slid window must fit the level image
+    inside = (
+        (ui - w >= 0) & (ui + w < lev_w)
+        & (vi - w >= 0) & (vi + w < lev_h)
+        & (ur0 - L - w >= 0) & (ur0 + L + w < lev_w)
+    )
+
+    dy, dx = jnp.meshgrid(jnp.arange(-w, w + 1), jnp.arange(-w, w + 1),
+                          indexing="ij")
+    iy = jnp.clip(vi[:, None, None] + dy[None], 0, Hm - 1)
+    ixl = jnp.clip(ui[:, None, None] + dx[None], 0, Wm - 1)
+    o3 = octave[:, None, None]
+    pl = pyr_l[o3, iy, ixl]                               # [N,P,P]
+    pl = pl - pl[:, w: w + 1, w: w + 1]
+    offs = jnp.arange(-L, L + 1)
+    ixr = jnp.clip(
+        ur0[:, None, None, None] + offs[None, :, None, None]
+        + dx[None, None], 0, Wm - 1)                      # [N,2L+1,P,P]
+    pr = pyr_r[o3[:, None], iy[:, None], ixr]
+    pr = pr - pr[:, :, w: w + 1, w: w + 1]
+    sad = jnp.sum(jnp.abs(pl[:, None] - pr), axis=(-2, -1))  # [N,2L+1]
+    best = jnp.argmin(sad, axis=1)
+    d2 = jnp.take_along_axis(sad, best[:, None], 1)[:, 0]
+    interior = (best > 0) & (best < 2 * L)
+    bi = jnp.clip(best, 1, 2 * L - 1)
+    d1 = jnp.take_along_axis(sad, (bi - 1)[:, None], 1)[:, 0]
+    d3 = jnp.take_along_axis(sad, (bi + 1)[:, None], 1)[:, 0]
+    denom = d1 + d3 - 2.0 * d2
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      (d1 - d3) / (2.0 * jnp.maximum(denom, 1e-9)), 0.0)
+    good = ok & inside & interior & (jnp.abs(delta) <= 1.0) & (denom > 0)
+    u_r = sf * (ur0.astype(dtype) + (bi - L).astype(dtype) + delta)
+    u_r = jnp.where(good, u_r, u_r0)
+    return u_r, d2, good
+
+
 def depth_from_disparity(disp, bf):
     """z = fx*b / d (bf = fx * baseline, the reference's Camera.bf)."""
     return jnp.where(disp > 1e-3, bf / jnp.maximum(disp, 1e-3), -1.0)
