@@ -9,11 +9,7 @@ Huber kernel is dropped (ref: Optimizer.cc:1083 'its[it]=10 ... if(it==2)
 e->setRobustKernel(0)').
 
 Everything is one jit'd lax loop: fixed 4x10 structure, masks instead of
-edge removal. Each round's inner loop early-exits once the GN step norm
-drops below tolerance (g2o's LM likewise terminates when the update
-stalls, so the fixed-iteration schedule is an upper bound in the
-reference too); on TPU this cuts the sequential dependency chain — the
-frame-rate bottleneck — by ~2-3x with bitwise-identical converged poses.
+edge removal.
 """
 
 from __future__ import annotations
@@ -48,7 +44,6 @@ def pose_optimize(
     n_rounds: int = ROUNDS,
     n_iters: int = ITERS,
     damping: float = 1e-6,
-    step_tol: float = 1e-10,
 ):
     """Returns (R, t, inlier_mask, chi2_per_obs).
 
@@ -68,29 +63,22 @@ def pose_optimize(
         H = jnp.einsum("nij,nik->jk", JW, J)
         b = -jnp.einsum("nij,ni->j", JW, r)
         H = H + damping * jnp.eye(6, dtype=dtype)
-        dx = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(H), True), b)
+        dx = jnp.linalg.solve(H, b)
         dR, dt = lie.se3_exp(dx)
         R_new = dR @ R
         t_new = dR @ t + dt
-        return R_new, t_new, jnp.sum(dx * dx)
+        return R_new, t_new
 
     R, t = R0, t0
     use = valid
     for rnd in range(n_rounds):
         robust = rnd < n_rounds - 1  # last round: plain quadratic
 
-        def cond(carry, tol=jnp.asarray(step_tol, dtype)):
-            i, _, _, sq = carry
-            return (i < n_iters) & (sq > tol)
+        def body(i, carry, use=use, robust=robust):
+            Rc, tc = carry
+            return gn_iter(Rc, tc, use, robust)
 
-        def body(carry, use=use, robust=robust):
-            i, Rc, tc, _ = carry
-            Rn, tn, sq = gn_iter(Rc, tc, use, robust)
-            return i + 1, Rn, tn, sq
-
-        _, R, t, _ = jax.lax.while_loop(
-            cond, body, (0, R, t, jnp.asarray(jnp.inf, dtype))
-        )
+        R, t = jax.lax.fori_loop(0, n_iters, body, (R, t))
         # outlier re-classification on ALL valid obs (ref: Optimizer.cc:1100+)
         r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
