@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import spd_solve
+
 from ..core.lie import so3_exp, so3_log
 from .preintegration import GRAVITY, corrected_delta
 
@@ -47,7 +49,7 @@ def gyro_bias_from_rotations(Rwb_pairs, pre_dR, pre_JRg):
         J = jax.jacfwd(residuals)(bg)
         r = residuals(bg)
         H = J.T @ J + 1e-9 * jnp.eye(3, dtype=bg.dtype)
-        bg = bg - jnp.linalg.solve(H, J.T @ r)
+        bg = bg - spd_solve(H, J.T @ r)
     return bg
 
 
@@ -131,7 +133,7 @@ def inertial_init_solve(Rwb, p, v0, edges_a, edges_b, pre_stack, info9,
             H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
             b = b * mask
         H = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(D, dtype=dtype)
-        dtheta = jnp.linalg.solve(H, b)
+        dtheta = spd_solve(H, b)
         new = theta + dtheta
         new_cost = cost_of(new)
         accept = new_cost < cost

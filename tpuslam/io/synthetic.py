@@ -25,8 +25,18 @@ import jax.numpy as jnp
 GRAVITY = 9.81
 
 
-def _smooth_texture(rng, n=512, octaves=4):
-    """Multi-octave value noise in [0,255]."""
+def _smooth_texture(rng, n=512, octaves=5):
+    """Multi-octave value noise + distinct landmark marks, in [0,255].
+
+    Pure value noise is self-similar: every patch looks like every other
+    patch, so BRIEF descriptors are weakly distinctive and the matchers'
+    ratio tests (ref ORBmatcher mfNNratio) starve. Real indoor scenes —
+    the reference's target domain — carry distinct structure (posters,
+    outlets, furniture edges), so the synthetic world gets the same:
+    high-contrast rectangles, discs and line segments scattered over the
+    noise base, each with its own intensity. This makes descriptors
+    locally unique without changing the renderer.
+    """
     tex = np.zeros((n, n))
     for o in range(octaves):
         k = 8 << o
@@ -46,6 +56,27 @@ def _smooth_texture(rng, n=512, octaves=4):
         )
         tex += c / (1 << o)
     tex = (tex - tex.min()) / (tex.max() - tex.min())
+    # distinct landmark marks: rectangles, discs, line segments
+    yy, xx = np.mgrid[0:n, 0:n]
+    for _ in range(40):
+        shape = rng.randint(3)
+        cy_, cx_ = rng.randint(0, n, 2)
+        val = rng.uniform(0.0, 1.0)
+        alpha = rng.uniform(0.55, 0.95)
+        if shape == 0:  # axis-aligned rectangle (poster/panel)
+            hh, ww_ = rng.randint(6, 40, 2)
+            m = (np.abs(yy - cy_) < hh) & (np.abs(xx - cx_) < ww_)
+        elif shape == 1:  # disc
+            rad = rng.randint(4, 24)
+            m = (yy - cy_) ** 2 + (xx - cx_) ** 2 < rad * rad
+        else:  # thick line segment
+            ang = rng.uniform(0, np.pi)
+            length = rng.randint(20, 90)
+            thick = rng.randint(2, 5)
+            d_par = (xx - cx_) * np.cos(ang) + (yy - cy_) * np.sin(ang)
+            d_perp = -(xx - cx_) * np.sin(ang) + (yy - cy_) * np.cos(ang)
+            m = (np.abs(d_par) < length) & (np.abs(d_perp) < thick)
+        tex = np.where(m, (1 - alpha) * tex + alpha * val, tex)
     return (tex * 255.0).astype(np.float32)
 
 
@@ -155,7 +186,14 @@ class Trajectory:
             c, r, w = self._loop_params
             # look along the tangent of the circle
             return w * t + np.pi / 2, 0.03 * np.sin(0.2 * t)
-        yaw = 0.08 * np.sin(0.25 * t)
+        # constant oblique viewing direction (~26 deg off the direction of
+        # travel) + wobble: pure forward-creep viewing gives near-zero
+        # parallax on most of the image (depth errors 50-200% at half-pixel
+        # noise), which no amount of solver quality can fix — mono SLAM is
+        # then scale-unstable by geometry. The reference's benchmark
+        # sequences (EuRoC machine hall) likewise carry rich view-oblique
+        # motion.
+        yaw = 0.45 + 0.08 * np.sin(0.25 * t)
         pitch = 0.05 * np.sin(0.2 * t + 0.5)
         return yaw, pitch
 

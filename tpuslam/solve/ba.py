@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.linalg import spd_solve
 from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight, huber_cost
 from .reproj import project_residuals
 
@@ -175,7 +176,9 @@ def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool):
     S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
     b_red = jnp.where(free6, b_red, 0.0)
 
-    dx_pose = jnp.linalg.solve(S, b_red).reshape(K, 6)
+    # f32-robust reduced-camera solve (Jacobi-scaled Cholesky + refinement;
+    # LM damping is already in S via the multiplicative block damping above)
+    dx_pose = spd_solve(S, b_red).reshape(K, 6)
 
     # back-substitution for landmarks
     WtDx = jnp.zeros((P, 3), dtype).at[d.obs_pt].add(

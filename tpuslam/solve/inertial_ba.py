@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.lie import so3_exp, hat
+from ..core.linalg import spd_solve
 from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight, huber_cost
 from ..imu.preintegration import inertial_residual
 from .ba import _inv3x3, build_obs_pairs
@@ -246,7 +247,7 @@ def vi_ba_solve(
         S = jnp.where(freeF[:, None] & freeF[None, :], S, 0.0)
         S = S + jnp.diag(jnp.where(freeF, 0.0, 1.0))
         brhs = jnp.where(freeF, brhs, 0.0)
-        dx = jnp.linalg.solve(S, brhs).reshape(K, D)
+        dx = spd_solve(S, brhs).reshape(K, D)
         # landmark back-substitution
         WtDx = jnp.zeros((P, 3), dtype).at[obs_pt].add(
             jnp.einsum("oij,oi->oj", Wo, dx[obs_kf, :6]))

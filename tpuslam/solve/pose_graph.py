@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import spd_solve
+
 from ..core.lie import (se3_compose, se3_inverse, se3_log, sim3_compose,
                         sim3_exp, sim3_inverse, sim3_log)
 
@@ -102,7 +104,7 @@ def pose_graph_solve(s, R, t, edges_i, edges_j, s_m, R_m, t_m, edge_w,
         S = jnp.where(freeF[:, None] & freeF[None, :], S, 0.0)
         S = S + jnp.diag(jnp.where(freeF, 0.0, 1.0))
         rhs = jnp.where(freeF, b.reshape(-1), 0.0)
-        dx = jnp.linalg.solve(S, rhs).reshape(K, D)
+        dx = spd_solve(S, rhs).reshape(K, D)
         s_c, R_c, t_c = state
         ds, dR, dt = sim3_exp(dx)
         new = sim3_compose(ds, dR, dt, s_c, R_c, t_c)
@@ -212,7 +214,7 @@ def pose_graph_solve_4dof(R, t, edges_i, edges_j, R_m, t_m, edge_w,
         S = jnp.where(freeF[:, None] & freeF[None, :], S, 0.0)
         S = S + jnp.diag(jnp.where(freeF, 0.0, 1.0))
         rhs = jnp.where(freeF, b.reshape(-1), 0.0)
-        dx = jnp.linalg.solve(S, rhs).reshape(K, D)
+        dx = spd_solve(S, rhs).reshape(K, D)
         new = apply(state, dx)
         new_cost = cost_of(new)
         accept = new_cost < cost

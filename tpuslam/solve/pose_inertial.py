@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.lie import so3_exp, so3_log, hat
+from ..core.linalg import spd_solve
 from ..core.robust import huber_weight
 from .inertial_ba import _edge_residual_of_eps
 
@@ -198,7 +199,7 @@ def pose_inertial_solve(
             H, b = build(st, use, cm, cs, robust)
             Hm = H * (freeF[:, None] * freeF[None, :])
             Hm = Hm + jnp.diag(1.0 - freeF) + 1e-8 * eyeD
-            dx = jnp.linalg.solve(Hm, b * freeF) * freeF
+            dx = spd_solve(Hm, b * freeF) * freeF
             return apply_dx(st, dx)
 
         state = jax.lax.fori_loop(0, n_iters, body, state)

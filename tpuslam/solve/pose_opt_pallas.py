@@ -30,15 +30,20 @@ LANES = 128
 
 
 def _chol6_solve(H, b, damping):
-    """Unrolled 6x6 Cholesky solve on scalar lists.
+    """Unrolled 6x6 Cholesky solve on scalar lists, Jacobi-preconditioned.
 
     H: 6x6 nested list of traced scalars (symmetric), b: list of 6.
-    Returns list of 6 scalars dx = (H + damping I)^-1 b.
+    Returns list of 6 scalars dx. Matches core.linalg.spd_solve: symmetric
+    diagonal scaling D^-1/2 H D^-1/2 (restores f32 accuracy on fx^2-scaled
+    normal matrices) and RELATIVE (Marquardt) damping on the unit diagonal.
     """
+    sc = [jax.lax.rsqrt(jnp.maximum(H[i][i], 1e-30)) for i in range(6)]
+    H = [[H[i][j] * sc[i] * sc[j] for j in range(6)] for i in range(6)]
+    b = [b[i] * sc[i] for i in range(6)]
     L = [[None] * 6 for _ in range(6)]
     for i in range(6):
         for j in range(i + 1):
-            s = H[i][j] + (damping if i == j else 0.0)
+            s = H[i][j] + ((damping + 1e-7) if i == j else 0.0)
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
@@ -59,7 +64,7 @@ def _chol6_solve(H, b, damping):
         for k in range(i + 1, 6):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    return x
+    return [x[i] * sc[i] for i in range(6)]  # un-scale back to dx
 
 
 def _se3_exp_scalar(dx):

@@ -18,6 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import spd_solve
+
 from ..core.lie import hat, so3_exp
 
 
@@ -157,7 +159,7 @@ def optimize_sim3(s0, R0, t0, X1, X2, valid, uv1, uv2, inv_s2_1, inv_s2_2,
             b = b.at[6].set(0.0)
         H = H + 1e-8 * jnp.eye(7, dtype=dtype) \
             + 1e-6 * jnp.diag(jnp.diag(H))
-        dth = jnp.linalg.solve(H, b)
+        dth = spd_solve(H, b)
         s = s * (jnp.exp(dth[6]) if not fix_scale else 1.0)
         t = t + R @ dth[0:3]
         R = R @ so3_exp(dth[3:6])
