@@ -432,9 +432,14 @@ class LocalMapper:
         fixed = np.zeros(len(kf_list), bool)
         fixed[len(window):] = True
         if len(frontier) == 0:
-            fixed[kf_index[window[-1]]] = True  # gauge: oldest window KF
-            if len(window) > 2:
-                fixed[kf_index[window[-2]]] = True
+            # gauge: fix ONLY the oldest KF (ref: LocalBundleAdjustment sets
+            # fixed solely for the map-origin KF, Optimizer.cc:1797
+            # vSE3->setFixed(pKF->mnId==pMap->GetInitKFid())). Fixing a
+            # second pose would pin an early two-KF baseline — i.e. the
+            # (possibly drifted) early map scale — into every later solve;
+            # with one fixed pose the mono scale gauge is handled by LM
+            # damping and BA can still reconcile early/late scale.
+            fixed[kf_index[min(window)]] = True
         pt_index = {int(j): i for i, j in enumerate(pts)}
         obs_kf, obs_pt, uvr, inv_s2, obs_ref, stereo = [], [], [], [], [], []
         for j in pts:

@@ -25,7 +25,7 @@ from ..map.store import SlamMap, FrameFeatures
 from ..ops import match as M
 from ..ops import twoview as TV
 from ..solve import ba as B
-from ..solve.pose_opt import pose_optimize
+from ..solve.pose_opt_dispatch import pose_optimize_best as pose_optimize
 from .config import SlamConfig
 from .frontend import Frontend
 

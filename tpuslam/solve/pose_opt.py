@@ -1,19 +1,26 @@
 """Motion-only pose optimization (the tracking-time solver).
 
 Replaces Optimizer::PoseOptimization (ref: src/Optimizer.cc:854-1168):
-4 rounds x 10 Gauss-Newton iterations on one SE(3) pose, Huber kernel with
-deltaMono=sqrt(5.991) / deltaStereo=sqrt(7.815), and outlier
-re-classification between rounds (chi2 gate per level sigma2); outliers are
-excluded from the next round but re-tested every round. After round 3 the
-Huber kernel is dropped (ref: Optimizer.cc:1083 'its[it]=10 ... if(it==2)
-e->setRobustKernel(0)').
+4 rounds x 10 Levenberg-Marquardt iterations on one SE(3) pose, Huber
+kernel with deltaMono=sqrt(5.991) / deltaStereo=sqrt(7.815), and outlier
+re-classification between rounds (chi2 gate per level sigma2); outliers
+are excluded from the next round but re-tested every round. After round 3
+the Huber kernel is dropped (ref: Optimizer.cc:1083 'its[it]=10 ...
+if(it==2) e->setRobustKernel(0)').
+
+Like g2o's OptimizationAlgorithmLevenberg (the reference's actual solver),
+each iteration is a DAMPED step with cost-based accept/reject and an
+adaptive lambda — not plain Gauss-Newton. Beyond parity, the damping is
+what keeps the solve stable at f32 (the TPU dtype): under low-parallax
+geometry H is nearly rank-deficient along the rotation/translation
+ambiguity, and an undamped f32 step wanders in that null space frame to
+frame, which reads as scale drift on forward motion.
 
 Everything is one jit'd lax loop: fixed 4x10 structure, masks instead of
-edge removal. Each round's inner loop early-exits once the GN step norm
-drops below tolerance (g2o's LM likewise terminates when the update
-stalls, so the fixed-iteration schedule is an upper bound in the
-reference too); on TPU this cuts the sequential dependency chain — the
-frame-rate bottleneck — by ~2-3x with bitwise-identical converged poses.
+edge removal. Each round's inner loop early-exits once an accepted step's
+norm drops below tolerance (g2o likewise terminates when the update
+stalls); on TPU this cuts the sequential dependency chain — the
+frame-rate bottleneck — by ~2-3x.
 """
 
 from __future__ import annotations
@@ -25,7 +32,7 @@ import jax.numpy as jnp
 
 from ..core import lie
 from ..core.linalg import spd_solve
-from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight
+from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_cost, huber_weight
 from .reproj import project_residuals
 
 ROUNDS = 4
@@ -48,18 +55,19 @@ def pose_optimize(
     bf,
     n_rounds: int = ROUNDS,
     n_iters: int = ITERS,
-    damping: float = 1e-6,
+    damping: float = 1e-4,
     step_tol: float = 1e-16,
 ):
     """Returns (R, t, inlier_mask, chi2_per_obs).
 
     X [N,3], uvr [N,3], inv_sigma2 [N] (1/1.2^(2*octave)), is_stereo [N],
-    valid [N] (existing match mask).
+    valid [N] (existing match mask). `damping` is the INITIAL relative
+    LM lambda (adapted by accept/reject within each round).
     """
     dtype = X.dtype
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO).astype(dtype)
 
-    def gn_iter(R, t, use, robust):
+    def normal_eqs(R, t, use, robust):
         r, J, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         w = jnp.where(robust, huber_weight(chi2, chi2_th), 1.0)
@@ -68,14 +76,14 @@ def pose_optimize(
         JW = J * w[:, None, None]
         H = jnp.einsum("nij,nik->jk", JW, J)
         b = -jnp.einsum("nij,ni->j", JW, r)
-        # f32-robust solve: Jacobi-scaled Cholesky + iterative refinement +
-        # relative (Marquardt) damping; a failed factorization yields dx=0
-        # (previous iterate kept), not NaN (see core/linalg.py)
-        dx = spd_solve(H, b, damping=damping)
-        dR, dt = lie.se3_exp(dx)
-        R_new = dR @ R
-        t_new = dR @ t + dt
-        return R_new, t_new, jnp.sum(dx * dx)
+        return H, b
+
+    def cost_of(R, t, use, robust):
+        r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        c = huber_cost(chi2, chi2_th) if robust else chi2
+        ok = use & (z > 0)
+        return jnp.sum(jnp.where(ok, c, 0.0))
 
     R, t = R0, t0
     use = valid
@@ -83,16 +91,35 @@ def pose_optimize(
         robust = rnd < n_rounds - 1  # last round: plain quadratic
 
         def cond(carry, tol=jnp.asarray(step_tol, dtype)):
-            i, _, _, sq = carry
+            i, _, _, _, _, sq = carry
             return (i < n_iters) & (sq > tol)
 
         def body(carry, use=use, robust=robust):
-            i, Rc, tc, _ = carry
-            Rn, tn, sq = gn_iter(Rc, tc, use, robust)
-            return i + 1, Rn, tn, sq
+            i, Rc, tc, lam, cost, _ = carry
+            H, b = normal_eqs(Rc, tc, use, robust)
+            dx = spd_solve(H, b, damping=lam)
+            dR, dt = lie.se3_exp(dx)
+            Rn = dR @ Rc
+            tn = dR @ tc + dt
+            cost_new = cost_of(Rn, tn, use, robust)
+            accept = cost_new < cost
+            Rc = jnp.where(accept, Rn, Rc)
+            tc = jnp.where(accept, tn, tc)
+            cost = jnp.where(accept, cost_new, cost)
+            lam = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e2
+            ).astype(dtype)
+            # early-exit on the norm of an ACCEPTED step; rejected steps
+            # keep iterating (lam grows until a step is accepted or the
+            # round budget runs out)
+            sq = jnp.where(accept, jnp.sum(dx * dx), jnp.asarray(jnp.inf, dtype))
+            return i + 1, Rc, tc, lam, cost, sq
 
-        _, R, t, _ = jax.lax.while_loop(
-            cond, body, (0, R, t, jnp.asarray(jnp.inf, dtype))
+        lam0 = jnp.asarray(damping, dtype)
+        cost0 = cost_of(R, t, use, robust)
+        _, R, t, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (0, R, t, lam0, cost0, jnp.asarray(jnp.inf, dtype)),
         )
         # outlier re-classification on ALL valid obs (ref: Optimizer.cc:1100+)
         r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)

@@ -1,0 +1,40 @@
+"""Backend dispatch for the motion-only pose solver.
+
+On TPU-class backends the fused Pallas kernel (pose_opt_pallas) halves the
+tracking-time pose-solve latency vs the XLA lax-loop version (~0.8 ms vs
+~1.7 ms chained at 1024 obs: the XLA version pays per-GN-step kernel
+latency across the sequential 4x10 LM chain; the fused kernel keeps the
+whole solve in one launch). Both implement the same LM accept/reject
+semantics (ref: Optimizer::PoseOptimization src/Optimizer.cc:854-1168 on
+g2o's Levenberg algorithm), so the choice is purely a performance one.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from .pose_opt import pose_optimize
+
+
+@functools.cache
+def _tpu_backend() -> bool:
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def pose_optimize_best(*args, **kw):
+    """pose_optimize, routed to the fused Pallas kernel on TPU backends.
+
+    The Pallas kernel is f32-only (the TPU dtype); other backends (CPU
+    tests run f64 under jax_enable_x64) use the XLA implementation.
+    """
+    if _tpu_backend():
+        from .pose_opt_pallas import pose_optimize_fused
+
+        return pose_optimize_fused(*args, **kw)
+    return pose_optimize(*args, **kw)

@@ -150,7 +150,18 @@ def _pose_kernel(
         chi2 = (ru * ru + rv * rv + rur * rur) * info
         return x, y, z, iz, iz2, ru, rv, rur, chi2
 
-    def gn_step(P, use, robust):
+    def cost_of(P, use, robust):
+        """Huber-robustified total cost at pose P over `use` obs."""
+        _, _, z, _, _, _, _, _, chi2 = residuals(P)
+        if robust:
+            e = jnp.sqrt(jnp.maximum(chi2, 0.0))
+            d = jnp.sqrt(chi2_th)
+            c = jnp.where(chi2 <= chi2_th, chi2, 2.0 * d * e - chi2_th)
+        else:
+            c = chi2
+        return jnp.sum(jnp.where((z > 0) & (use > 0.5), c, 0.0))
+
+    def gn_step(P, lam, use, robust):
         x, y, z, iz, iz2, ru, rv, rur, chi2 = residuals(P)
         if robust:
             e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
@@ -189,7 +200,7 @@ def _pose_kernel(
                 )
                 H[bcol][a] = H[a][bcol]
             g[a] = -jnp.sum(w * (ru * Ju[a] + rv * Jv[a]) + ws * (rur * Jur[a]))
-        dx = _chol6_solve(H, g, damping)
+        dx = _chol6_solve(H, g, lam)
         dR, dt = _se3_exp_scalar(dx)
         # P' = exp(dx) * P : R' = dR R, t' = dR t + dt
         Pn = []
@@ -206,17 +217,30 @@ def _pose_kernel(
     for rnd in range(n_rounds):
         robust = rnd < n_rounds - 1
 
+        # Levenberg-Marquardt accept/reject loop (mirrors
+        # pose_opt.pose_optimize; g2o's OptimizationAlgorithmLevenberg is
+        # the reference's actual solver). Early-exit on an ACCEPTED step's
+        # norm; rejected steps raise lambda and keep iterating.
         def cond(carry):
-            i, _, sq = carry
+            i, _, _, _, sq = carry
             return jnp.logical_and(i < n_iters, sq > tol)
 
         def body(carry, use=use, robust=robust):
-            i, P, _ = carry
-            Pn, sq = gn_step(P, use, robust)
-            return i + 1, Pn, sq
+            i, P, lam, cost, _ = carry
+            Pn, sq_step = gn_step(P, lam, use, robust)
+            cost_new = cost_of(Pn, use, robust)
+            accept = cost_new < cost
+            P = tuple(jnp.where(accept, pn, p) for pn, p in zip(Pn, P))
+            cost = jnp.where(accept, cost_new, cost)
+            lam = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e2)
+            sq = jnp.where(accept, sq_step, jnp.float32(jnp.inf))
+            return i + 1, P, lam, cost, sq
 
-        _, P, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), P, jnp.float32(jnp.inf))
+        _, P, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), P, damping, cost_of(P, use, robust),
+             jnp.float32(jnp.inf)),
         )
         # re-classify on ALL valid obs (ref: Optimizer.cc:1100+)
         _, _, z, _, _, _, _, _, chi2 = residuals(P)
@@ -247,8 +271,8 @@ def pose_optimize_fused(
     bf,
     n_rounds: int = 4,
     n_iters: int = 10,
-    damping: float = 1e-6,
-    step_tol: float = 1e-10,
+    damping: float = 1e-4,
+    step_tol: float = 1e-16,
     interpret: bool = False,
 ):
     """Drop-in replacement for pose_opt.pose_optimize on TPU.
