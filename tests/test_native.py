@@ -94,3 +94,44 @@ def test_rebuild_after_checkpoint(tmp_path, rng):
         m.update_connections(kf)
         m2.update_connections(kf)
         assert m.covis[kf] == m2.covis[kf]
+
+
+def test_inverted_index_parity(rng):
+    """Native inverted BoW index vs the pure-Python KeyFrameDatabase:
+    identical shared-word histograms, L1 scores and candidate rankings."""
+    from tpuslam.place.kfdb import KeyFrameDatabase
+    from tpuslam.place.vocab import BinaryVocabulary
+    from tpuslam.place import train_vocabulary
+
+    descs = (rng.rand(400, 256) > 0.5).astype(np.uint8)
+    vocab = train_vocabulary(descs, k=4, L=3, iters=3)
+    db_n = KeyFrameDatabase(vocab)
+    db_p = KeyFrameDatabase(vocab)
+    db_p._native = None
+    db_p.inverted = [[] for _ in range(vocab.n_words)]
+    assert db_n._native is not None, "native core must build in this env"
+
+    bows = []
+    for kf in range(12):
+        bits = (rng.rand(60, 256) > 0.5).astype(np.uint8)
+        word, node, bow = vocab.transform(bits, np.ones(60, bool))
+        db_n.add(kf, word, bow)
+        db_p.add(kf, word, bow)
+        bows.append(bow)
+
+    covis = lambda k: [max(0, k - 1), min(11, k + 1)]
+    for q in range(12):
+        sh_n = db_n._shared_words(bows[q], {q})
+        sh_p = db_p._shared_words(bows[q], {q})
+        assert sh_n == sh_p, q
+        for kf in sh_n:
+            assert abs(db_n._score(bows[q], kf) - db_p._score(bows[q], kf)) < 1e-5
+        c_n = db_n.detect_candidates(bows[q], covis, {q})
+        c_p = db_p.detect_candidates(bows[q], covis, {q})
+        assert [k for k, _ in c_n] == [k for k, _ in c_p], q
+
+    # erasure parity
+    db_n.erase(3)
+    db_p.erase(3)
+    for q in (2, 4):
+        assert db_n._shared_words(bows[q], set()) == db_p._shared_words(bows[q], set())

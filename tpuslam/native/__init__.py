@@ -60,6 +60,18 @@ def load():
     lib.redundancy_count.restype = i32
     lib.redundancy_count.argtypes = [ctypes.c_void_p, i32, p_i32, i32, p_i8,
                                      i32, i32]
+    p_f32 = ctypes.POINTER(ctypes.c_float)
+    lib.inv_new.restype = ctypes.c_void_p
+    lib.inv_new.argtypes = [i32]
+    lib.inv_free.argtypes = [ctypes.c_void_p]
+    lib.inv_add.argtypes = [ctypes.c_void_p, i32, p_i32, p_f32, i32]
+    lib.inv_erase.restype = i32
+    lib.inv_erase.argtypes = [ctypes.c_void_p, i32]
+    lib.inv_shared.restype = i32
+    lib.inv_shared.argtypes = [ctypes.c_void_p, p_i32, i32, p_i32, i32,
+                               p_i32, p_i32, i32]
+    lib.inv_score.restype = ctypes.c_float
+    lib.inv_score.argtypes = [ctypes.c_void_p, i32, p_i32, p_f32, i32]
     _lib = lib
     return lib
 
@@ -123,6 +135,58 @@ class NativeObsIndex:
             self.h, kf, self._p(row), len(row),
             oc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             oc.shape[1], min_obs)
+
+
+class NativeInvIndex:
+    """Inverted BoW index backed by the C++ core (ref: KeyFrameDatabase's
+    mvInvertedFile + DBoW2 L1 scoring). API mirrors the Python fallback in
+    place/kfdb.py."""
+
+    CAP = 8192
+
+    def __init__(self, n_words: int):
+        self.lib = load()
+        if self.lib is None:
+            raise RuntimeError("native mapcore unavailable")
+        self.h = ctypes.c_void_p(self.lib.inv_new(n_words))
+        self._buf_kf = np.empty(self.CAP, np.int32)
+        self._buf_ct = np.empty(self.CAP, np.int32)
+
+    def __del__(self):
+        if getattr(self, "h", None) and self.lib is not None:
+            self.lib.inv_free(self.h)
+            self.h = None
+
+    @staticmethod
+    def _pi(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    @staticmethod
+    def _pf(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def add(self, kf: int, words: np.ndarray, weights: np.ndarray):
+        w = np.ascontiguousarray(words, np.int32)
+        v = np.ascontiguousarray(weights, np.float32)
+        self.lib.inv_add(self.h, kf, self._pi(w), self._pf(v), len(w))
+
+    def erase(self, kf: int) -> bool:
+        return bool(self.lib.inv_erase(self.h, kf))
+
+    def shared(self, qwords: np.ndarray, exclude: np.ndarray):
+        """Returns (kfs [m], counts [m]) of KFs sharing >=1 query word."""
+        q = np.ascontiguousarray(qwords, np.int32)
+        x = np.ascontiguousarray(np.sort(np.asarray(exclude, np.int32)))
+        n = self.lib.inv_shared(self.h, self._pi(q), len(q), self._pi(x),
+                                len(x), self._pi(self._buf_kf),
+                                self._pi(self._buf_ct), self.CAP)
+        return self._buf_kf[:n].copy(), self._buf_ct[:n].copy()
+
+    def score(self, kf: int, qwords: np.ndarray, qweights: np.ndarray):
+        q = np.ascontiguousarray(qwords, np.int32)
+        v = np.ascontiguousarray(qweights, np.float32)
+        return float(self.lib.inv_score(self.h, kf, self._pi(q),
+                                        self._pf(v), len(q)))
 
 
 def available() -> bool:

@@ -166,3 +166,128 @@ int32_t redundancy_count(void* h, int32_t kf, const int32_t* kf_mp_row,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Inverted BoW index (ref: KeyFrameDatabase src/KeyFrameDatabase.cc —
+// mvInvertedFile word->KF lists :39, shared-word counting :612-660, L1
+// scoring via DBoW2 ScoringObject.cpp). This replaces the DBoW2-side
+// native structure: the per-query hot loop walks |query words| lists and
+// histograms KF hits, which in Python costs a dict op per (word, kf) pair.
+
+namespace {
+
+struct InvIndex {
+  std::vector<std::vector<int32_t>> inv;  // word -> KFs containing it
+  // kf -> sorted (word, weight) rows of its L1-normalized BoW vector
+  std::unordered_map<int32_t, std::vector<std::pair<int32_t, float>>> bow;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* inv_new(int32_t n_words) {
+  auto* ix = new InvIndex();
+  ix->inv.resize(n_words);
+  return ix;
+}
+
+void inv_free(void* h) { delete static_cast<InvIndex*>(h); }
+
+// add a keyframe's BoW vector: words sorted ascending, unique
+void inv_add(void* h, int32_t kf, const int32_t* words, const float* weights,
+             int32_t n) {
+  auto* ix = static_cast<InvIndex*>(h);
+  auto& row = ix->bow[kf];
+  row.clear();
+  row.reserve(n);
+  for (int32_t i = 0; i < n; i++) {
+    int32_t w = words[i];
+    if (w < 0 || w >= (int32_t)ix->inv.size()) continue;
+    row.emplace_back(w, weights[i]);
+    ix->inv[w].push_back(kf);
+  }
+}
+
+int32_t inv_erase(void* h, int32_t kf) {
+  auto* ix = static_cast<InvIndex*>(h);
+  auto it = ix->bow.find(kf);
+  if (it == ix->bow.end()) return 0;
+  for (auto& wv : it->second) {
+    auto& lst = ix->inv[wv.first];
+    for (size_t i = 0; i < lst.size(); i++) {
+      if (lst[i] == kf) {
+        lst[i] = lst.back();
+        lst.pop_back();
+        break;
+      }
+    }
+  }
+  ix->bow.erase(it);
+  return 1;
+}
+
+// shared-word histogram over the inverted file with an exclusion set
+// (ref: DetectNBestCandidates :620-660). exclude sorted ascending.
+// Returns #distinct KFs written to out_kf/out_count (cap entries).
+int32_t inv_shared(void* h, const int32_t* qwords, int32_t nq,
+                   const int32_t* exclude, int32_t nx, int32_t* out_kf,
+                   int32_t* out_count, int32_t cap) {
+  auto* ix = static_cast<InvIndex*>(h);
+  std::unordered_map<int32_t, int32_t> counts;
+  counts.reserve(128);
+  auto excluded = [&](int32_t kf) {
+    int32_t lo = 0, hi = nx;
+    while (lo < hi) {
+      int32_t mid = (lo + hi) / 2;
+      if (exclude[mid] < kf) lo = mid + 1;
+      else hi = mid;
+    }
+    return lo < nx && exclude[lo] == kf;
+  };
+  for (int32_t i = 0; i < nq; i++) {
+    int32_t w = qwords[i];
+    if (w < 0 || w >= (int32_t)ix->inv.size()) continue;
+    for (int32_t kf : ix->inv[w])
+      if (!excluded(kf)) counts[kf]++;
+  }
+  int32_t m = 0;
+  for (auto& kv : counts) {
+    if (m >= cap) break;
+    out_kf[m] = kv.first;
+    out_count[m] = kv.second;
+    m++;
+  }
+  return m;
+}
+
+// L1 score of the stored KF BoW vs a query (sorted words + weights):
+// 0.5 * sum_common(|v|+|u|-|v-u|)  (ref: DBoW2 L1Scoring)
+float inv_score(void* h, int32_t kf, const int32_t* qwords, const float* qw,
+                int32_t nq) {
+  auto* ix = static_cast<InvIndex*>(h);
+  auto it = ix->bow.find(kf);
+  if (it == ix->bow.end()) return 0.0f;
+  const auto& row = it->second;  // sorted by word
+  float s = 0.0f;
+  size_t a = 0;
+  int32_t b = 0;
+  while (a < row.size() && b < nq) {
+    int32_t wa = row[a].first, wb = qwords[b];
+    if (wa == wb) {
+      float v = row[a].second, u = qw[b];
+      float av = v < 0 ? -v : v, au = u < 0 ? -u : u;
+      float d = v - u;
+      s += av + au - (d < 0 ? -d : d);
+      a++;
+      b++;
+    } else if (wa < wb) {
+      a++;
+    } else {
+      b++;
+    }
+  }
+  return 0.5f * s;
+}
+
+}  // extern "C"
