@@ -41,7 +41,8 @@ class MappingConfig:
     min_baseline_depth_ratio: float = 0.01  # LocalMapping.cc:440
     fuse_radius: float = 3.0
     culling_redundancy: float = 0.9      # KeyFrameCulling 90% rule
-    local_ba_iters: int = 12
+    local_ba_iters: int = 15   # ACCEPTED steps (g2o semantics; ba_solve
+                                 # retries rejected trials and exits on stall)
     recent_cull_found_ratio: float = 0.25
 
 
@@ -79,7 +80,7 @@ class LoopConfig:
     min_proj_matches: int = 50
     nn_ratio: float = 0.75
     proj_radius: float = 8.0
-    ransac_hypotheses: int = 256
+    ransac_hypotheses: int = 1024  # batched on device; more = cheaper than failing
     essential_min_weight: int = 100
     run_gba: bool = True
     gba_max_kfs: int = 200               # ref LoopClosing.cc:1237

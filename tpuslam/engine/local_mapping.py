@@ -272,9 +272,11 @@ class LocalMapper:
                 f2.und_xy, lines, f2.octave, self.sf ** 2
             )
             mask = emask & free1[:, None] & free2[None, :]
+            # NO ratio test here: the reference's SearchForTriangulation
+            # gates on dist<TH_LOW + epipolar only (ORBmatcher.cc:1061-1085)
             midx, _ = M.match_padded(
                 f1.bits, f2.bits, mask,
-                max_dist=M.TH_LOW, nn_ratio=self.cfg.tracking.nn_ratio_triangulate,
+                max_dist=M.TH_LOW,
                 ang_a=f1.angle, ang_b=f2.angle,
             )
             i1 = np.nonzero(midx >= 0)[0]

@@ -838,9 +838,13 @@ class Tracker:
                 & (frame.feats.valid & free)[None, :]
                 & M.level_mask_np(pred, frame.feats.octave, 1, 0)
             )
+            # ratio test only when best/second share a pyramid level
+            # (ref: SearchByProjection ORBmatcher.cc:130
+            # bestLevel==bestLevel2 gate)
             midx, _ = M.match_padded(
                 m.mp_bits[cand], frame.feats.bits, mask,
                 max_dist=M.TH_HIGH, nn_ratio=cfg.nn_ratio_local,
+                oct_b=frame.feats.octave, ratio_same_octave=True,
             )
             ok = midx >= 0
             frame.mp[midx[ok]] = cand[ok]

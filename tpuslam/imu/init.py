@@ -105,11 +105,15 @@ def inertial_init_solve(Rwb, p, v0, edges_a, edges_b, pre_stack, info9,
         return _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack,
                              mono_scale)
 
-    def cost_of(theta):
+    def cost_terms(theta):
         r = res(theta)
-        c = jnp.sum(jnp.einsum("ei,eij,ej->e", r, info9, r))
-        c = c + prior_g * jnp.sum(theta[3:6] ** 2) + prior_a * jnp.sum(theta[6:9] ** 2)
-        return c
+        c = jnp.einsum("ei,eij,ej->e", r, info9, r)  # per-edge
+        pr = jnp.stack([prior_g * jnp.sum(theta[3:6] ** 2),
+                        prior_a * jnp.sum(theta[6:9] ** 2)])
+        return jnp.concatenate([c, pr])
+
+    def cost_of(theta):
+        return jnp.sum(cost_terms(theta))
 
     def step(carry, _):
         theta, lam, cost = carry
@@ -135,11 +139,12 @@ def inertial_init_solve(Rwb, p, v0, edges_a, edges_b, pre_stack, info9,
         H = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(D, dtype=dtype)
         dtheta = spd_solve(H, b)
         new = theta + dtheta
-        new_cost = cost_of(new)
-        accept = new_cost < cost
+        # f32-safe acceptance: per-edge cost differences, then reduce
+        delta = jnp.sum(cost_terms(new) - cost_terms(theta))
+        accept = delta < 0
         theta = jnp.where(accept, new, theta)
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-9, 1e6)
-        return (theta, lam, jnp.where(accept, new_cost, cost)), None
+        return (theta, lam, cost + jnp.where(accept, delta, 0.0)), None
 
     (theta, _, cost), _ = jax.lax.scan(
         step, (theta, jnp.asarray(1e-4, dtype), cost_of(theta)), None,

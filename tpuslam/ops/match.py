@@ -41,6 +41,19 @@ def masked_best2(dist, mask):
     return best_idx, best, second
 
 
+def masked_best2_idx(dist, mask):
+    """Like masked_best2 but also returns the SECOND-best candidate index
+    (for the reference's same-octave-only ratio test,
+    SearchByProjection ORBmatcher.cc:130 bestLevel==bestLevel2)."""
+    d = jnp.where(mask, dist, BIG)
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(BIG)
+    second_idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    second = jnp.take_along_axis(d2, second_idx[:, None], axis=1)[:, 0]
+    return best_idx, best, second_idx, second
+
+
 def rotation_consistency(ang_a, ang_b_of_match, valid):
     """Keep only matches whose angle difference falls in the 3 most common
     of 30 bins (ref: ORBmatcher ComputeThreeMaxima + rotHist usage)."""
@@ -76,15 +89,28 @@ def resolve_duplicates(match_idx, best, valid, m_size: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_dist", "nn_ratio", "use_rot", "one_to_one")
+    jax.jit,
+    static_argnames=("max_dist", "nn_ratio", "use_rot", "one_to_one",
+                     "ratio_same_octave"),
 )
 def _match_core(bits_a, bits_b, mask, ang_a, ang_b, max_dist, nn_ratio,
-                use_rot, one_to_one):
+                use_rot, one_to_one, oct_b=None,
+                ratio_same_octave: bool = False):
     dist = hamming_matrix(bits_a, bits_b)
-    idx, best, second = masked_best2(dist, mask)
-    valid = best <= max_dist
-    if nn_ratio is not None:
-        valid = valid & (best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    if ratio_same_octave and nn_ratio is not None:
+        # ref SearchByProjection (ORBmatcher.cc:130): the ratio test only
+        # applies when best and second-best live on the SAME pyramid level
+        idx, best, idx2, second = masked_best2_idx(dist, mask)
+        same_oct = jnp.take(oct_b, idx) == jnp.take(oct_b, idx2)
+        ratio_ok = (~same_oct) | (
+            best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+        valid = (best <= max_dist) & ratio_ok
+    else:
+        idx, best, second = masked_best2(dist, mask)
+        valid = best <= max_dist
+        if nn_ratio is not None:
+            valid = valid & (
+                best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
     if use_rot:
         ang_match = jnp.take(ang_b, idx)
         valid = rotation_consistency(ang_a, ang_match, valid)
@@ -102,23 +128,31 @@ def match(
     ang_a=None,
     ang_b=None,
     one_to_one: bool = True,
+    oct_b=None,
+    ratio_same_octave: bool = False,
 ):
     """Generic masked matcher (jit'd; one compiled program per shape bucket
     and flag combination).
 
+    ratio_same_octave: apply nn_ratio only when best and second-best are on
+    the same pyramid level of B (requires oct_b; ref ORBmatcher.cc:130).
     Returns (match_idx [N] int32 into B or -1, dist [N] int32).
     """
     use_rot = ang_a is not None
     if not use_rot:
         ang_a = jnp.zeros(bits_a.shape[0], jnp.float32)
         ang_b = jnp.zeros(bits_b.shape[0], jnp.float32)
+    if oct_b is None:
+        oct_b = jnp.zeros(bits_b.shape[0], jnp.int32)
     return _match_core(
         bits_a, bits_b, mask, ang_a, ang_b, int(max_dist),
         None if nn_ratio is None else float(nn_ratio), use_rot, one_to_one,
+        oct_b=oct_b, ratio_same_octave=bool(ratio_same_octave),
     )
 
 
-def match_padded(bits_a, bits_b, mask, ang_a=None, ang_b=None, **kw):
+def match_padded(bits_a, bits_b, mask, ang_a=None, ang_b=None, oct_b=None,
+                 **kw):
     """Numpy-facing matcher that pads both sides to shape buckets so the
     frame loop reuses a handful of compiled programs. All inputs numpy."""
     from ..utils.pad import bucket, pad_to
@@ -132,9 +166,11 @@ def match_padded(bits_a, bits_b, mask, ang_a=None, ang_b=None, **kw):
     if ang_a is not None:
         ang_a = jnp.asarray(pad_to(np.asarray(ang_a, np.float32), nb))
         ang_b = jnp.asarray(pad_to(np.asarray(ang_b, np.float32), mb))
+    if oct_b is not None:
+        oct_b = jnp.asarray(pad_to(np.asarray(oct_b, np.int32), mb))
     midx, dist = match(
         jnp.asarray(bits_a), jnp.asarray(bits_b), jnp.asarray(mask_p),
-        ang_a=ang_a, ang_b=ang_b, **kw,
+        ang_a=ang_a, ang_b=ang_b, oct_b=oct_b, **kw,
     )
     return np.asarray(midx)[:n], np.asarray(dist)[:n]
 

@@ -310,7 +310,9 @@ def reconstruct_two_views(x1, x2, valid, key):
         (n_best > 30)
         & (n_best.astype(dtype) > 0.75 * n_inliers.astype(dtype))
         & ok_clear
-        & (pars[best] > 0.5)
+        & (pars[best] > 1.0)  # ref: minParallax=1.0 deg
+        #   (TwoViewReconstruction.cc:114; a sub-degree-parallax init
+        #   seeds the map with noise-dominated depths and poisons scale)
     )
     return dict(
         success=success,

@@ -116,18 +116,17 @@ def _residuals_weights(d: BAData, fx, fy, cx, cy, bf, robust: bool):
     chi2_th = jnp.where(d.stereo, CHI2_STEREO, CHI2_MONO).astype(r.dtype)
     w_rob = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
     w = w_rob * d.inv_sigma2 * d.valid.astype(r.dtype) * (z > 0).astype(r.dtype)
-    cost = jnp.sum(
-        jnp.where(
-            d.valid & (z > 0),
-            huber_cost(chi2, chi2_th) if robust else chi2,
-            0.0,
-        )
-    )
+    cost = jnp.where(
+        d.valid & (z > 0),
+        huber_cost(chi2, chi2_th) if robust else chi2,
+        0.0,
+    )  # PER-OBS cost terms; callers sum (or difference-then-sum: f32-safe
+    #    accept tests need the cancellation before the reduction)
     return r, Jp, Jl, w, cost, chi2, z
 
 
 def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool):
-    """One damped GN step. Returns (R_new, t_new, X_new, cost_before)."""
+    """One damped GN step. Returns (R_new, t_new, X_new, cost_terms_before)."""
     K = d.R.shape[0]
     P = d.X.shape[0]
     dtype = d.X.dtype
@@ -196,7 +195,8 @@ def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool):
     return R_new, t_new, X_new, cost
 
 
-def _cost_only(d: BAData, fx, fy, cx, cy, bf, robust: bool):
+def _cost_terms(d: BAData, fx, fy, cx, cy, bf, robust: bool):
+    """Per-observation cost terms [O]."""
     return _residuals_weights(d, fx, fy, cx, cy, bf, robust)[4]
 
 
@@ -206,31 +206,56 @@ def ba_solve(
     pair_a, pair_b, fx, fy, cx, cy, bf,
     n_iters: int = 10, robust: bool = True, lam0: float = 1e-4,
 ):
-    """LM loop with accept/reject. Returns (R, t, X, final_cost)."""
+    """LM loop with g2o iteration semantics.
 
-    def step(carry, _):
-        R, t, X, lam, cost_prev = carry
+    In g2o (the reference's solver) one 'iteration' = one ACCEPTED step;
+    rejected trials raise lambda and retry within the same iteration
+    (OptimizationAlgorithmLevenberg maxTrials). So n_iters counts
+    accepted steps here, with a 3x total-trial cap, plus a relative-gain
+    stall exit. Under-converged local BA is not just slow — it leaves
+    scale inconsistency between map regions that hardens into the
+    trajectory. Returns (R, t, X, final_cost)."""
+    dtype = X.dtype
+    rel_tol = 1e-8
+    max_trials = 3 * n_iters
+
+    def cond(carry):
+        _, _, _, _, cost, delta, n_acc, n_tot = carry
+        stalled = (delta <= 0) & (-delta < rel_tol * jnp.maximum(cost, 1e-20))
+        return (n_acc < n_iters) & (n_tot < max_trials) & ~stalled
+
+    def body(carry):
+        R, t, X, lam, cost, _, n_acc, n_tot = carry
         d = BAData(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
                    fixed, pair_a, pair_b)
         R2, t2, X2, _ = _gn_step(d, lam, fx, fy, cx, cy, bf, robust)
         d2 = BAData(R2, t2, X2, obs_kf, obs_pt, uvr, inv_sigma2, stereo,
                     valid, fixed, pair_a, pair_b)
-        cost_new = _cost_only(d2, fx, fy, cx, cy, bf, robust)
-        accept = cost_new < cost_prev
+        # f32-safe acceptance: sum of PER-OBS cost differences — at f32 a
+        # genuine small improvement vanishes below the resolution of the
+        # two large totals, every step rejects and the solver stalls
+        delta = jnp.sum(
+            _cost_terms(d2, fx, fy, cx, cy, bf, robust)
+            - _cost_terms(d, fx, fy, cx, cy, bf, robust))
+        accept = delta < 0
         R = jnp.where(accept, R2, R)
         t = jnp.where(accept, t2, t)
         X = jnp.where(accept, X2, X)
+        cost = cost + jnp.where(accept, delta, 0.0)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-9, 1e6)
-        cost = jnp.where(accept, cost_new, cost_prev)
-        return (R, t, X, lam, cost), cost
+        # a rejected trial reports delta=+inf: never mistaken for a stall
+        delta = jnp.where(accept, delta, jnp.asarray(jnp.inf, dtype))
+        return (R, t, X, lam, cost, delta,
+                n_acc + accept.astype(jnp.int32), n_tot + 1)
 
     d0 = BAData(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
                 fixed, pair_a, pair_b)
-    cost0 = _cost_only(d0, fx, fy, cx, cy, bf, robust)
-    lam0_arr = jnp.asarray(lam0, X.dtype)
-    (R, t, X, _, cost), _ = jax.lax.scan(
-        step, (R, t, X, lam0_arr, cost0), None, length=n_iters
+    cost0 = jnp.sum(_cost_terms(d0, fx, fy, cx, cy, bf, robust))
+    R, t, X, _, cost, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (R, t, X, jnp.asarray(lam0, dtype), cost0,
+         jnp.asarray(jnp.inf, dtype), 0, 0),
     )
     return R, t, X, cost
 

@@ -78,8 +78,10 @@ def _reproj_parts(Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
     chi2_th = jnp.where(stereo, CHI2_STEREO, CHI2_MONO).astype(dtype)
     w_rob = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
     w = w_rob * inv_sigma2 * valid.astype(dtype) * (z > 0).astype(dtype)
-    cost = jnp.sum(jnp.where(valid & (z > 0),
-                             huber_cost(chi2, chi2_th) if robust else chi2, 0.0))
+    cost = jnp.where(valid & (z > 0),
+                     huber_cost(chi2, chi2_th) if robust else chi2, 0.0)
+    # PER-OBS cost terms; callers sum (f32-safe accept tests difference
+    # per-term before reducing)
     return r, Jp, Jl, w, cost
 
 
@@ -213,7 +215,7 @@ def vi_ba_solve(
             H = H.at[jnp.arange(K), jnp.arange(K), 12:15, 12:15].add(
                 prior_a * eye3[None])
             b = b.at[:, 12:15].add(-prior_a * ba)
-        cost = cost_v + cost_i + cost_rw
+        cost = jnp.sum(cost_v) + cost_i + cost_rw
         # landmark marginalization (Schur, pair scatter)
         eye3d = jnp.eye(3, dtype=dtype)
         Hll_d = Hll + lam * (eye3d * jnp.diagonal(Hll, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye3d
@@ -260,7 +262,9 @@ def vi_ba_solve(
         ban = ba + dx[:, 12:15]
         return (Rn, pn, vn, bgn, ban, X + dx_pt), cost
 
-    def cost_only(state):
+    def cost_terms(state):
+        """Per-term cost vector (obs, inertial edges, RW edges, priors):
+        f32-safe acceptance differences per-term before reducing."""
         Rwb, p, v, bg, ba, X = state
         _, _, _, _, c_v = _reproj_parts(
             Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
@@ -270,28 +274,27 @@ def vi_ba_solve(
             Rwb[edges_a], p[edges_a], v[edges_a], bg[edges_a], ba[edges_a],
             Rwb[edges_b], p[edges_b], v[edges_b],
             bg0[edges_a], ba0[edges_a], pre_stack)
-        c_i = jnp.sum(jnp.einsum("ei,eij,ej->e", ri, info9, ri))
+        c_i = jnp.einsum("ei,eij,ej->e", ri, info9, ri)
         dbg_e = bg[edges_b] - bg[edges_a]
         dba_e = ba[edges_b] - ba[edges_a]
-        c_rw = jnp.sum(rw_info_g[:, None] * dbg_e ** 2) + jnp.sum(
-            rw_info_a[:, None] * dba_e ** 2)
-        c_pr = prior_g * jnp.sum(bg ** 2) + prior_a * jnp.sum(ba ** 2)
-        return c_v + c_i + c_rw + c_pr
+        c_rw = jnp.sum(rw_info_g[:, None] * dbg_e ** 2, -1) + jnp.sum(
+            rw_info_a[:, None] * dba_e ** 2, -1)
+        c_pr = prior_g * jnp.sum(bg ** 2, -1) + prior_a * jnp.sum(ba ** 2, -1)
+        return jnp.concatenate([c_v, c_i, c_rw, c_pr])
 
     def lm_step(carry, _):
-        state, lam, cost_prev = carry
+        state, lam = carry
         new_state, _ = build_and_step(state, lam)
-        cost_new = cost_only(new_state)
-        accept = cost_new < cost_prev
+        delta = jnp.sum(cost_terms(new_state) - cost_terms(state))
+        accept = delta < 0
         state = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), new_state, state)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
-        cost = jnp.where(accept, cost_new, cost_prev)
-        return (state, lam, cost), cost
+        return (state, lam), delta
 
     state0 = (Rwb, p, v, bg, ba, X)
-    cost0 = cost_only(state0)
-    (state, _, cost), _ = jax.lax.scan(
-        lm_step, (state0, jnp.asarray(1e-4, dtype), cost0), None,
+    (state, _), _ = jax.lax.scan(
+        lm_step, (state0, jnp.asarray(1e-4, dtype)), None,
         length=n_iters)
+    cost = jnp.sum(cost_terms(state))
     return state + (cost,)

@@ -80,12 +80,15 @@ def pose_graph_solve(s, R, t, edges_i, edges_j, s_m, R_m, t_m, edge_w,
         cost = jnp.sum(edge_w * jnp.sum(r * r, -1))
         return H, b, cost
 
-    def cost_of(state):
+    def cost_terms(state):
         s, R, t = state
         r = _edge_res(
             z7, z7, s[edges_i], R[edges_i], t[edges_i],
             s[edges_j], R[edges_j], t[edges_j], s_m, R_m, t_m)
-        return jnp.sum(edge_w * jnp.sum(r * r, -1))
+        return edge_w * jnp.sum(r * r, -1)  # per-edge (f32-safe accept)
+
+    def cost_of(state):
+        return jnp.sum(cost_terms(state))
 
     free = jnp.ones((K, D), bool) & ~fixed[:, None]
     if fix_scale:
@@ -108,11 +111,12 @@ def pose_graph_solve(s, R, t, edges_i, edges_j, s_m, R_m, t_m, edge_w,
         s_c, R_c, t_c = state
         ds, dR, dt = sim3_exp(dx)
         new = sim3_compose(ds, dR, dt, s_c, R_c, t_c)
-        new_cost = cost_of(new)
-        accept = new_cost < cost
+        # f32-safe acceptance: per-edge cost differences, then reduce
+        delta = jnp.sum(cost_terms(new) - cost_terms(state))
+        accept = delta < 0
         state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, state)
         mu = jnp.clip(jnp.where(accept, mu * 0.3, mu * 5.0), 1e-9, 1e6)
-        return (state, mu, jnp.where(accept, new_cost, cost)), None
+        return (state, mu, cost + jnp.where(accept, delta, 0.0)), None
 
     state0 = (s, R, t)
     (state, _, cost), _ = jax.lax.scan(
@@ -169,9 +173,12 @@ def pose_graph_solve_4dof(R, t, edges_i, edges_j, R_m, t_m, edge_w,
         return _edge4_res(z4, z4, Rc[edges_i], tc[edges_i],
                           Rc[edges_j], tc[edges_j], R_m, t_m)
 
-    def cost_of(state):
+    def cost_terms(state):
         r = res_of(state)
-        return jnp.sum(edge_w * jnp.sum(r * r, -1))
+        return edge_w * jnp.sum(r * r, -1)  # per-edge (f32-safe accept)
+
+    def cost_of(state):
+        return jnp.sum(cost_terms(state))
 
     free = jnp.ones((K, D), bool) & ~fixed[:, None]
     freeF = free.reshape(K * D)
@@ -216,11 +223,12 @@ def pose_graph_solve_4dof(R, t, edges_i, edges_j, R_m, t_m, edge_w,
         rhs = jnp.where(freeF, b.reshape(-1), 0.0)
         dx = spd_solve(S, rhs).reshape(K, D)
         new = apply(state, dx)
-        new_cost = cost_of(new)
-        accept = new_cost < cost
+        # f32-safe acceptance: per-edge cost differences, then reduce
+        delta = jnp.sum(cost_terms(new) - cost_terms(state))
+        accept = delta < 0
         state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, state)
         mu = jnp.clip(jnp.where(accept, mu * 0.3, mu * 5.0), 1e-9, 1e6)
-        return (state, mu, jnp.where(accept, new_cost, cost)), None
+        return (state, mu, cost + jnp.where(accept, delta, 0.0)), None
 
     state0 = (R, t)
     (state, _, cost), _ = jax.lax.scan(

@@ -78,12 +78,13 @@ def pose_optimize(
         b = -jnp.einsum("nij,ni->j", JW, r)
         return H, b
 
-    def cost_of(R, t, use, robust):
+    def cost_terms(R, t, use, robust):
+        """Per-observation robustified cost [N] (0 where unused)."""
         r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         c = huber_cost(chi2, chi2_th) if robust else chi2
         ok = use & (z > 0)
-        return jnp.sum(jnp.where(ok, c, 0.0))
+        return jnp.where(ok, c, 0.0)
 
     R, t = R0, t0
     use = valid
@@ -91,21 +92,26 @@ def pose_optimize(
         robust = rnd < n_rounds - 1  # last round: plain quadratic
 
         def cond(carry, tol=jnp.asarray(step_tol, dtype)):
-            i, _, _, _, _, sq = carry
+            i, _, _, _, sq = carry
             return (i < n_iters) & (sq > tol)
 
         def body(carry, use=use, robust=robust):
-            i, Rc, tc, lam, cost, _ = carry
+            i, Rc, tc, lam, _ = carry
             H, b = normal_eqs(Rc, tc, use, robust)
             dx = spd_solve(H, b, damping=lam)
             dR, dt = lie.se3_exp(dx)
             Rn = dR @ Rc
             tn = dR @ tc + dt
-            cost_new = cost_of(Rn, tn, use, robust)
-            accept = cost_new < cost
+            # f32-safe acceptance: sum the PER-OBS cost differences, not
+            # the difference of two large sums — at f32 a genuine small
+            # improvement vanishes below the total's resolution, every
+            # step gets rejected and the solver freezes at the prior pose
+            delta = jnp.sum(
+                cost_terms(Rn, tn, use, robust)
+                - cost_terms(Rc, tc, use, robust))
+            accept = delta < 0
             Rc = jnp.where(accept, Rn, Rc)
             tc = jnp.where(accept, tn, tc)
-            cost = jnp.where(accept, cost_new, cost)
             lam = jnp.clip(
                 jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e2
             ).astype(dtype)
@@ -113,13 +119,12 @@ def pose_optimize(
             # keep iterating (lam grows until a step is accepted or the
             # round budget runs out)
             sq = jnp.where(accept, jnp.sum(dx * dx), jnp.asarray(jnp.inf, dtype))
-            return i + 1, Rc, tc, lam, cost, sq
+            return i + 1, Rc, tc, lam, sq
 
         lam0 = jnp.asarray(damping, dtype)
-        cost0 = cost_of(R, t, use, robust)
-        _, R, t, _, _, _ = jax.lax.while_loop(
+        _, R, t, _, _ = jax.lax.while_loop(
             cond, body,
-            (0, R, t, lam0, cost0, jnp.asarray(jnp.inf, dtype)),
+            (0, R, t, lam0, jnp.asarray(jnp.inf, dtype)),
         )
         # outlier re-classification on ALL valid obs (ref: Optimizer.cc:1100+)
         r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)

@@ -150,8 +150,8 @@ def _pose_kernel(
         chi2 = (ru * ru + rv * rv + rur * rur) * info
         return x, y, z, iz, iz2, ru, rv, rur, chi2
 
-    def cost_of(P, use, robust):
-        """Huber-robustified total cost at pose P over `use` obs."""
+    def cost_terms(P, use, robust):
+        """Per-obs Huber-robustified cost plane at pose P (0 where unused)."""
         _, _, z, _, _, _, _, _, chi2 = residuals(P)
         if robust:
             e = jnp.sqrt(jnp.maximum(chi2, 0.0))
@@ -159,7 +159,7 @@ def _pose_kernel(
             c = jnp.where(chi2 <= chi2_th, chi2, 2.0 * d * e - chi2_th)
         else:
             c = chi2
-        return jnp.sum(jnp.where((z > 0) & (use > 0.5), c, 0.0))
+        return jnp.where((z > 0) & (use > 0.5), c, 0.0)
 
     def gn_step(P, lam, use, robust):
         x, y, z, iz, iz2, ru, rv, rur, chi2 = residuals(P)
@@ -222,25 +222,27 @@ def _pose_kernel(
         # the reference's actual solver). Early-exit on an ACCEPTED step's
         # norm; rejected steps raise lambda and keep iterating.
         def cond(carry):
-            i, _, _, _, sq = carry
+            i, _, _, sq = carry
             return jnp.logical_and(i < n_iters, sq > tol)
 
         def body(carry, use=use, robust=robust):
-            i, P, lam, cost, _ = carry
+            i, P, lam, _ = carry
             Pn, sq_step = gn_step(P, lam, use, robust)
-            cost_new = cost_of(Pn, use, robust)
-            accept = cost_new < cost
+            # f32-safe acceptance: sum of PER-OBS cost differences (see
+            # pose_opt.py — difference of two large sums loses genuine
+            # small improvements below the total's f32 resolution)
+            delta = jnp.sum(
+                cost_terms(Pn, use, robust) - cost_terms(P, use, robust))
+            accept = delta < 0
             P = tuple(jnp.where(accept, pn, p) for pn, p in zip(Pn, P))
-            cost = jnp.where(accept, cost_new, cost)
             lam = jnp.clip(
                 jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e2)
             sq = jnp.where(accept, sq_step, jnp.float32(jnp.inf))
-            return i + 1, P, lam, cost, sq
+            return i + 1, P, lam, sq
 
-        _, P, _, _, _ = jax.lax.while_loop(
+        _, P, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), P, damping, cost_of(P, use, robust),
-             jnp.float32(jnp.inf)),
+            (jnp.int32(0), P, damping, jnp.float32(jnp.inf)),
         )
         # re-classify on ALL valid obs (ref: Optimizer.cc:1100+)
         _, _, z, _, _, _, _, _, chi2 = residuals(P)

@@ -84,25 +84,37 @@ def sim3_ransac(X1, X2, valid, uv1, uv2, inv_s2_1, inv_s2_2,
     inl = count(s, R, t)  # [H,N]
     n_inl = inl.sum(-1)
     best = jnp.argmax(n_inl)
-    # refit on the best hypothesis's inliers (weighted Horn with mask)
-    m = inl[best].astype(X1.dtype)
-    nm = jnp.maximum(m.sum(), 3.0)
-    c1 = (X1 * m[:, None]).sum(0) / nm
-    c2 = (X2 * m[:, None]).sum(0) / nm
-    d1 = (X1 - c1) * m[:, None]
-    d2 = (X2 - c2) * m[:, None]
-    sR, RR, tR = horn_sim3(d1[None] + c1, d2[None] + c2, fix_scale=True)
-    # weighted refit via masked points padded to centroid (zero residual)
-    Xe1 = jnp.where(m[:, None] > 0, X1, c1)
-    Xe2 = jnp.where(m[:, None] > 0, X2, c2)
-    sF, RF, tF = horn_sim3(Xe1[None], Xe2[None], fix_scale=fix_scale)
-    sF, RF, tF = sF[0], RF[0], tF[0]
-    inlF = count(sF[None], RF[None], tF[None])[0]
-    use_refit = inlF.sum() >= n_inl[best]
-    sB = jnp.where(use_refit, sF, s[best])
-    RB = jnp.where(use_refit, RF, R[best])
-    tB = jnp.where(use_refit, tF, t[best])
-    inlB = jnp.where(use_refit, inlF, inl[best])
+    sB, RB, tB, inlB = s[best], R[best], t[best], inl[best]
+    nB = n_inl[best]
+
+    # LO-RANSAC: iterated all-inlier Horn refit with inlier regrowth.
+    # Minimal 3-point hypotheses are fit in 3D, where mono depth noise
+    # lives, so raw hypotheses rarely reach consensus on noisy maps even
+    # when the verification gate (reprojection) would accept the true
+    # transform; refitting on the grown inlier set fixes that (the
+    # reference's equivalent polish is OptimizeSim3 after iterate()).
+    def refit_once(carry):
+        sB, RB, tB, inlB, nB = carry
+        m = inlB.astype(X1.dtype)
+        c1 = (X1 * m[:, None]).sum(0) / jnp.maximum(m.sum(), 3.0)
+        c2 = (X2 * m[:, None]).sum(0) / jnp.maximum(m.sum(), 3.0)
+        # masked refit: outliers collapsed to the centroids (zero residual)
+        Xe1 = jnp.where(m[:, None] > 0, X1, c1)
+        Xe2 = jnp.where(m[:, None] > 0, X2, c2)
+        sF, RF, tF = horn_sim3(Xe1[None], Xe2[None], fix_scale=fix_scale)
+        sF, RF, tF = sF[0], RF[0], tF[0]
+        inlF = count(sF[None], RF[None], tF[None])[0]
+        better = inlF.sum() >= nB
+        return (
+            jnp.where(better, sF, sB),
+            jnp.where(better, RF, RB),
+            jnp.where(better, tF, tB),
+            jnp.where(better, inlF, inlB),
+            jnp.maximum(inlF.sum(), nB),
+        )
+
+    for _ in range(4):
+        sB, RB, tB, inlB, nB = refit_once((sB, RB, tB, inlB, nB))
     return dict(s=sB, R=RB, t=tB, inliers=inlB, n_inliers=inlB.sum())
 
 
