@@ -301,6 +301,14 @@ class LoopCloser:
         kfs = m.valid_kf_ids()
         if lcfg.run_gba and len(kfs) < lcfg.gba_max_kfs:
             self._global_ba(kfs, fix_kf=cand)
+        # spanning-tree invariant (ref: assert(mpCurrentKF->GetMap()->
+        # CheckEssentialGraph()) LoopClosing.cc:1048-1050) — log, don't
+        # crash, in production
+        errs = m.check_essential_graph()
+        if errs:
+            from ..utils.verbose import print_mess
+            print_mess(
+                f"essential-graph invariant violated after loop: {errs[:4]}")
         m.map_version += 1
         self.n_loops_closed += 1
 

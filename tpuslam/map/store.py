@@ -411,6 +411,42 @@ class SlamMap:
             mp = int(self.mp_replaced_by[mp])
         return mp
 
+    def check_essential_graph(self, map_id=None):
+        """Spanning-tree invariant check (ref: Map::CheckEssentialGraph,
+        asserted after loop correction at LoopClosing.cc:1048-1050):
+        every valid KF of the map either is a root (parent == -1) or has a
+        valid, same-map, non-self parent, and following parents terminates
+        at a root (no cycles). Returns a list of violation strings
+        (empty = healthy); callers assert on emptiness in debug paths.
+        """
+        errs = []
+        ids = self.valid_kf_ids(map_id=map_id)
+        idset = set(int(k) for k in ids)
+        roots = 0
+        for k in ids:
+            p = int(self.kf_parent[k])
+            if p < 0:
+                roots += 1
+                continue
+            if p == int(k):
+                errs.append(f"kf {k}: parent is self")
+                continue
+            if not self.kf_valid[p]:
+                errs.append(f"kf {k}: parent {p} is bad")
+            elif int(p) not in idset:
+                errs.append(f"kf {k}: parent {p} in another map")
+            # cycle walk (paths are short; bail at n_kf hops)
+            seen = {int(k)}
+            while p >= 0:
+                if p in seen:
+                    errs.append(f"kf {k}: parent cycle through {p}")
+                    break
+                seen.add(p)
+                p = int(self.kf_parent[p])
+        if len(ids) and roots == 0:
+            errs.append("no spanning-tree root in map")
+        return errs
+
     # ----------------------------------------------------------------- inertial
     def temporal_chain(self, map_id=None):
         """Valid KFs of one map in temporal order."""

@@ -104,7 +104,14 @@ def sad_refine(img_l, img_r, xy_l, u_r0, ok, w: int = 5, L: int = 5):
     delta = jnp.where(jnp.abs(denom) > 1e-9,
                       (d1 - d3) / (2.0 * jnp.maximum(denom, 1e-9)), 0.0)
     good = ok & interior & (jnp.abs(delta) <= 1.0) & (denom > 0)
-    u_r = ur0.astype(dtype) + (bi - L).astype(dtype) + delta
+    # The SAD localizes the right-image match of the ROUNDED left center
+    # ui; adding back the left coordinate's fractional part (x - ui) makes
+    # u_r the correspondence of x itself, so the disparity error is the
+    # parabola error alone, not the +-0.5 px center quantization (the
+    # reference keeps the quantization — Frame.cc:928 bestuR is relative
+    # to scaleduL — so this is strictly more accurate).
+    u_r = (ur0.astype(dtype) + (bi - L).astype(dtype) + delta
+           + (xy_l[:, 0] - ui.astype(dtype)))
     u_r = jnp.where(good, u_r, u_r0)
     return u_r, d2, good
 
@@ -179,7 +186,12 @@ def sad_refine_pyramid(img_l, img_r, xy_l, octave, u_r0, ok,
     delta = jnp.where(jnp.abs(denom) > 1e-9,
                       (d1 - d3) / (2.0 * jnp.maximum(denom, 1e-9)), 0.0)
     good = ok & inside & interior & (jnp.abs(delta) <= 1.0) & (denom > 0)
-    u_r = sf * (ur0.astype(dtype) + (bi - L).astype(dtype) + delta)
+    # add back the left center's sub-level offset (x - sf*ui): the SAD
+    # localizes the match of the rounded LEVEL center, and at octave o the
+    # quantization is +-0.5*sf^o level-0 px — larger than the parabola
+    # error itself (see sad_refine; ref Frame.cc:928 keeps it)
+    u_r = (sf * (ur0.astype(dtype) + (bi - L).astype(dtype) + delta)
+           + (xy_l[:, 0] - sf * ui.astype(dtype)))
     u_r = jnp.where(good, u_r, u_r0)
     return u_r, d2, good
 
