@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from .image import build_pyramid, gaussian_blur
 from .fast import fast_score, nms3x3, cell_threshold_gate
+from .patch_pallas import extract_patches
 
 HALF_PATCH = 15  # IC-angle circular patch radius (ref: ORBextractor.cc:70 PATCH_SIZE 31)
 DESC_R = 18      # descriptor patch radius: 13*sqrt(2) ~ 18.4 rounded in
@@ -144,37 +145,25 @@ def _select_level_keypoints(score, budget: int, cell: int):
     return xy, resp
 
 
-def _ic_angles(img_padded, xy):
-    """Intensity-centroid angle (rad) for keypoints xy [K,2] (level coords).
-    img_padded has PAD on each side."""
-    icx = jnp.asarray(_IC_X)
-    icy = jnp.asarray(_IC_Y)
-
-    def one(p):
-        patch = jax.lax.dynamic_slice(
-            img_padded,
-            (p[1] + PAD - HALF_PATCH, p[0] + PAD - HALF_PATCH),
-            (2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1),
-        )
-        m10 = jnp.sum(patch * icx)
-        m01 = jnp.sum(patch * icy)
-        return jnp.arctan2(m01, m10)
-
-    return jax.vmap(one)(xy)
+def _level_patches(blur_padded, xy):
+    """One gather per level: [K, 37, 37] descriptor-radius patches (the
+    31x31 IC-angle window sits at offset +3 inside). On TPU this is the
+    scalar-prefetch DMA kernel (ops/patch_pallas.py) — the vmapped
+    dynamic_slice alternative lowers to a sequential while-loop costing
+    ~3.2 ms/frame, ~90% of the tracking-frontend budget."""
+    yx0 = jnp.stack([xy[:, 1], xy[:, 0]], axis=-1) + (PAD - DESC_R)
+    return extract_patches(blur_padded, yx0, 2 * DESC_R + 1)
 
 
-def _desc_patches(blur_padded, xy):
-    """Flattened descriptor patches [K, side^2] around keypoints."""
-    side = 2 * DESC_R + 1
-
-    def one(p):
-        return jax.lax.dynamic_slice(
-            blur_padded,
-            (p[1] + PAD - DESC_R, p[0] + PAD - DESC_R),
-            (side, side),
-        ).reshape(-1)
-
-    return jax.vmap(one)(xy)
+def _ic_angles_from_patches(p37):
+    """Intensity-centroid angle (rad) from [K,37,37] patches
+    (ref: ORBextractor.cc:75 IC_Angle, as two mask contractions)."""
+    off = DESC_R - HALF_PATCH
+    n = 2 * HALF_PATCH + 1
+    inner = p37[:, off : off + n, off : off + n]
+    m10 = jnp.einsum("kij,ij->k", inner, jnp.asarray(_IC_X))
+    m01 = jnp.einsum("kij,ij->k", inner, jnp.asarray(_IC_Y))
+    return jnp.arctan2(m01, m10)
 
 
 def _descriptors_from_patches(patches, angles):
@@ -199,15 +188,21 @@ def _descriptors_from_patches(patches, angles):
     frac = (a - b0).astype(diff.dtype)
     b0 = jnp.mod(b0.astype(jnp.int32), B)
     b1 = jnp.mod(b0 + 1, B)
-    d0 = jnp.take_along_axis(diff, b0[:, None, None], axis=1)[:, 0]
-    d1 = jnp.take_along_axis(diff, b1[:, None, None], axis=1)[:, 0]
-    sel = (1.0 - frac[:, None]) * d0 + frac[:, None] * d1
+    # bin LERP as a one-hot contraction — take_along_axis would be a
+    # per-row gather (a sequential while-loop on TPU); this is one fused
+    # multiply-reduce on the VPU
+    bins = jnp.arange(B, dtype=jnp.int32)
+    w = (1.0 - frac[:, None]) * (bins[None, :] == b0[:, None]) + frac[
+        :, None
+    ] * (bins[None, :] == b1[:, None])
+    sel = jnp.einsum("kb,kbf->kf", w.astype(diff.dtype), diff)
     return (sel > 0).astype(jnp.uint8)
 
 
 def _descriptors(blur_padded, xy, angles):
     """rBRIEF bits [K,256] uint8 from the blurred, padded level image."""
-    return _descriptors_from_patches(_desc_patches(blur_padded, xy), angles)
+    p = _level_patches(blur_padded, xy)
+    return _descriptors_from_patches(p.reshape(p.shape[0], -1), angles)
 
 
 def pack_bits(bits):
@@ -243,8 +238,9 @@ def _extract_impl(img, cfg: OrbConfig, ini_th: float, min_th: float):
         # raw), but on weakly-structured patches the raw-image moments are
         # noise-dominated and the angle jitters frame-to-frame, which
         # rotates the whole descriptor; blurring stabilizes it measurably.
-        ang = _ic_angles(pad_blur, xy)
-        patches.append(_desc_patches(pad_blur, xy))
+        p37 = _level_patches(pad_blur, xy)
+        ang = _ic_angles_from_patches(p37)
+        patches.append(p37.reshape(p37.shape[0], -1))
         out["xy"].append(xy.astype(jnp.float32) * sc)
         out["resp"].append(resp)
         out["angle"].append(ang)
