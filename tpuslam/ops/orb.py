@@ -148,9 +148,8 @@ def _select_level_keypoints(score, budget: int, cell: int):
 def _level_patches(blur_padded, xy):
     """One gather per level: [K, 37, 37] descriptor-radius patches (the
     31x31 IC-angle window sits at offset +3 inside). On TPU this is the
-    scalar-prefetch DMA kernel (ops/patch_pallas.py) — the vmapped
-    dynamic_slice alternative lowers to a sequential while-loop costing
-    ~3.2 ms/frame, ~90% of the tracking-frontend budget."""
+    scalar-prefetch DMA kernel (ops/patch_pallas.py; see its module
+    docstring for the measured comparison vs the XLA gather)."""
     yx0 = jnp.stack([xy[:, 1], xy[:, 0]], axis=-1) + (PAD - DESC_R)
     return extract_patches(blur_padded, yx0, 2 * DESC_R + 1)
 
@@ -161,8 +160,12 @@ def _ic_angles_from_patches(p37):
     off = DESC_R - HALF_PATCH
     n = 2 * HALF_PATCH + 1
     inner = p37[:, off : off + n, off : off + n]
-    m10 = jnp.einsum("kij,ij->k", inner, jnp.asarray(_IC_X))
-    m01 = jnp.einsum("kij,ij->k", inner, jnp.asarray(_IC_Y))
+    # HIGHEST precision: the default bf16 matmul truncation perturbs the
+    # moments enough to rotate descriptors ~1.7e-3 rad vs the exact sum
+    m10 = jnp.einsum("kij,ij->k", inner, jnp.asarray(_IC_X),
+                     precision=jax.lax.Precision.HIGHEST)
+    m01 = jnp.einsum("kij,ij->k", inner, jnp.asarray(_IC_Y),
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.arctan2(m01, m10)
 
 

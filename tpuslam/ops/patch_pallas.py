@@ -3,10 +3,11 @@
 The descriptor/orientation stage needs a small square patch around every
 keypoint (ref: src/ORBextractor.cc:75 IC_Angle, :106 computeOrbDescriptor —
 the reference reads the patches pointer-style per keypoint on the CPU).
-The obvious JAX expression, `vmap(dynamic_slice)`, lowers on TPU to a
-SEQUENTIAL `while` loop of dynamic-slice + dynamic-update-slice through
-HBM — profiled at ~3.2 ms/frame for 1024 keypoints, i.e. ~90% of the
-whole tracking-frontend budget.
+The alternative JAX expression, `vmap(dynamic_slice)`, lowers to a gather
+through HBM; measured fetch-to-fetch on the tracking-frontend chain
+(round 3, TPU v5e) the Pallas DMA path wins: full forward 1.45 ms/frame
+vs 2.3+ ms with the XLA path in the mix (and the XLA-gather + fused-pose
+combination compiles pathologically slowly when fused into one program).
 
 TPU-native replacement, in two steps:
 
@@ -59,21 +60,23 @@ def _sup_kernel(yx_ref, img_ref, out_ref, scratch, sems):
     def _():
         dma(0, 0).start()
 
+    two = jnp.int32(2)  # literal 2 would be i64 in interpret mode under x64
+
     @pl.when(c + 1 < nc)
     def _():
-        dma(c + 1, jax.lax.rem(c + 1, 2)).start()
+        dma(c + 1, jax.lax.rem(c + 1, two)).start()
 
-    slot = jax.lax.rem(c, 2)
+    slot = jax.lax.rem(c, two)
     dma(c, slot).wait()
     out_ref[0] = scratch[slot]
 
 
-def _superpatches_tpu(img, yx, k: int):
+def _superpatches_tpu(img, yx, k: int, interpret: bool = False):
     """[k, SUP_H, SUP_W] tile-aligned superpatches via scalar-prefetch DMA."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, SUP_H, SUP_W), lambda c, yx_ref: (c, 0, 0)
         ),
@@ -86,10 +89,11 @@ def _superpatches_tpu(img, yx, k: int):
         _sup_kernel,
         out_shape=jax.ShapeDtypeStruct((k, SUP_H, SUP_W), img.dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(yx, img)
 
 
-def _extract_patches_tpu(img, yx, size: int):
+def _extract_patches_tpu(img, yx, size: int, interpret: bool = False):
     assert size <= MAX_SIZE, size
     k = yx.shape[0]
     yx = yx.astype(jnp.int32)
@@ -98,7 +102,7 @@ def _extract_patches_tpu(img, yx, size: int):
     hp = ((h - size) // 8) * 8 + SUP_H
     wp = ((w - size) // 128) * 128 + SUP_W
     img = jnp.pad(img, ((0, max(0, hp - h)), (0, max(0, wp - w))))
-    sup = _superpatches_tpu(img, yx, k)
+    sup = _superpatches_tpu(img, yx, k, interpret=interpret)
     oy = jnp.remainder(yx[:, 0], 8)
     ox = jnp.remainder(yx[:, 1], 128)
     # rows: 8 masked static shifts (no gather)
@@ -106,14 +110,21 @@ def _extract_patches_tpu(img, yx, size: int):
     for o in range(8):
         m = (oy == o).astype(img.dtype)[:, None, None]
         rows = rows + m * jax.lax.slice_in_dim(sup, o, o + size, axis=1)
-    # columns: one-hot batched matmul (MXU) — exact for 0/1 weights
+    # columns: one-hot batched matmul (MXU). precision=HIGHEST keeps the
+    # f32 image operand out of the default bf16 truncation so the TPU
+    # path matches the XLA gather bitwise (the 0/1 weights are exact in
+    # any precision; the IMAGE operand is not).
     lanes = jnp.arange(SUP_W, dtype=jnp.int32)
     cols = jnp.arange(size, dtype=jnp.int32)
     onehot = (
         lanes[None, :, None] == (ox[:, None, None] + cols[None, None, :])
     ).astype(img.dtype)
     return jnp.einsum(
-        "krw,kwc->krc", rows, onehot, preferred_element_type=img.dtype
+        "krw,kwc->krc",
+        rows,
+        onehot,
+        preferred_element_type=img.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -126,9 +137,10 @@ def _extract_patches_xla(img, yx, size: int):
 
 def on_tpu() -> bool:
     """True when the default JAX backend drives a real TPU (incl. the
-    axon-tunneled chip)."""
+    axon-tunneled chip). Explicit whitelist: unknown plugin platforms
+    (METAL etc.) must NOT be routed onto the Mosaic kernel."""
     try:
-        return jax.default_backend() not in ("cpu", "gpu")
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover - no backend at all
         return False
 
