@@ -24,12 +24,12 @@ from jax import shard_map
 from ..core import lie
 from ..core.linalg import spd_solve
 from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight, huber_cost
-from ..solve.reproj import project_residuals
+from ..solve.reproj import PINHOLE, project_residuals
 from ..solve.ba import _inv3x3, build_obs_pairs
 
 
 def _local_blocks(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-                  fx, fy, cx, cy, bf, robust):
+                  fx, fy, cx, cy, bf, robust, cam=PINHOLE, right=None):
     """Per-shard residual/Jacobian reduction (runs on each device's slice)."""
     K = R.shape[0]
     Pn = X.shape[0]
@@ -37,7 +37,7 @@ def _local_blocks(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
     Rk = R[obs_kf]
     tk = t[obs_kf]
     r, Jp, Jl, z = project_residuals(Rk, tk, X[obs_pt], uvr, stereo,
-                                     fx, fy, cx, cy, bf)
+                                     fx, fy, cx, cy, bf, cam, right)
     chi2 = jnp.sum(r * r, -1) * inv_sigma2
     chi2_th = jnp.where(stereo, CHI2_STEREO, CHI2_MONO).astype(dtype)
     w_rob = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
@@ -58,7 +58,7 @@ def _local_blocks(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
     return Hpp, bp, Hll, bl, Wo, cost
 
 
-def make_dist_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, robust=True):
+def make_dist_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, robust=True, cam=PINHOLE):
     """Builds a shard_map'd damped-GN BA step.
 
     Replicated: poses (R [K,3,3], t [K,3]), points X [P,3], fixed [K], lam.
@@ -76,7 +76,7 @@ def make_dist_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, robust=True):
         dtype = X.dtype
         Hpp, bp, Hll, bl, Wo, cost = _local_blocks(
             R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-            fx, fy, cx, cy, bf, robust,
+            fx, fy, cx, cy, bf, robust, cam,
         )
         # global landmark blocks: a landmark's obs may span shards -> psum
         Hll = jax.lax.psum(Hll, "obs")

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..core import lie
 from ..core.linalg import spd_solve
 from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight, huber_cost
-from .reproj import project_residuals
+from .reproj import PINHOLE, project_residuals
 
 
 def build_obs_pairs(obs_pt: np.ndarray, n_points: int):
@@ -80,6 +80,7 @@ class BAData:
     fixed: jnp.ndarray      # [K] bool
     pair_a: jnp.ndarray     # [Q] int32 obs indices
     pair_b: jnp.ndarray     # [Q] int32
+    right: jnp.ndarray = None  # [O] bool — kb8 rig right-camera obs (None = all left)
 
 
 def _inv3x3(A):
@@ -107,11 +108,11 @@ def _inv3x3(A):
     return adj / det[..., None, None]
 
 
-def _residuals_weights(d: BAData, fx, fy, cx, cy, bf, robust: bool):
+def _residuals_weights(d: BAData, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE):
     Rk = d.R[d.obs_kf]
     tk = d.t[d.obs_kf]
     Xo = d.X[d.obs_pt]
-    r, Jp, Jl, z = project_residuals(Rk, tk, Xo, d.uvr, d.stereo, fx, fy, cx, cy, bf)
+    r, Jp, Jl, z = project_residuals(Rk, tk, Xo, d.uvr, d.stereo, fx, fy, cx, cy, bf, cam, d.right)
     chi2 = jnp.sum(r * r, -1) * d.inv_sigma2
     chi2_th = jnp.where(d.stereo, CHI2_STEREO, CHI2_MONO).astype(r.dtype)
     w_rob = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
@@ -125,12 +126,12 @@ def _residuals_weights(d: BAData, fx, fy, cx, cy, bf, robust: bool):
     return r, Jp, Jl, w, cost, chi2, z
 
 
-def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool):
+def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE):
     """One damped GN step. Returns (R_new, t_new, X_new, cost_terms_before)."""
     K = d.R.shape[0]
     P = d.X.shape[0]
     dtype = d.X.dtype
-    r, Jp, Jl, w, cost, _, _ = _residuals_weights(d, fx, fy, cx, cy, bf, robust)
+    r, Jp, Jl, w, cost, _, _ = _residuals_weights(d, fx, fy, cx, cy, bf, robust, cam)
 
     Jp_w = Jp * w[:, None, None]
     # block accumulations
@@ -195,16 +196,17 @@ def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool):
     return R_new, t_new, X_new, cost
 
 
-def _cost_terms(d: BAData, fx, fy, cx, cy, bf, robust: bool):
+def _cost_terms(d: BAData, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE):
     """Per-observation cost terms [O]."""
-    return _residuals_weights(d, fx, fy, cx, cy, bf, robust)[4]
+    return _residuals_weights(d, fx, fy, cx, cy, bf, robust, cam)[4]
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "robust"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "robust", "cam"))
 def ba_solve(
     R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid, fixed,
     pair_a, pair_b, fx, fy, cx, cy, bf,
     n_iters: int = 10, robust: bool = True, lam0: float = 1e-4,
+    cam=PINHOLE, right=None,
 ):
     """LM loop with g2o iteration semantics.
 
@@ -227,16 +229,16 @@ def ba_solve(
     def body(carry):
         R, t, X, lam, cost, _, n_acc, n_tot = carry
         d = BAData(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-                   fixed, pair_a, pair_b)
-        R2, t2, X2, _ = _gn_step(d, lam, fx, fy, cx, cy, bf, robust)
+                   fixed, pair_a, pair_b, right)
+        R2, t2, X2, _ = _gn_step(d, lam, fx, fy, cx, cy, bf, robust, cam)
         d2 = BAData(R2, t2, X2, obs_kf, obs_pt, uvr, inv_sigma2, stereo,
-                    valid, fixed, pair_a, pair_b)
+                    valid, fixed, pair_a, pair_b, right)
         # f32-safe acceptance: sum of PER-OBS cost differences — at f32 a
         # genuine small improvement vanishes below the resolution of the
         # two large totals, every step rejects and the solver stalls
         delta = jnp.sum(
-            _cost_terms(d2, fx, fy, cx, cy, bf, robust)
-            - _cost_terms(d, fx, fy, cx, cy, bf, robust))
+            _cost_terms(d2, fx, fy, cx, cy, bf, robust, cam)
+            - _cost_terms(d, fx, fy, cx, cy, bf, robust, cam))
         accept = delta < 0
         R = jnp.where(accept, R2, R)
         t = jnp.where(accept, t2, t)
@@ -250,8 +252,8 @@ def ba_solve(
                 n_acc + accept.astype(jnp.int32), n_tot + 1)
 
     d0 = BAData(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-                fixed, pair_a, pair_b)
-    cost0 = jnp.sum(_cost_terms(d0, fx, fy, cx, cy, bf, robust))
+                fixed, pair_a, pair_b, right)
+    cost0 = jnp.sum(_cost_terms(d0, fx, fy, cx, cy, bf, robust, cam))
     R, t, X, _, cost, _, _, _ = jax.lax.while_loop(
         cond, body,
         (R, t, X, jnp.asarray(lam0, dtype), cost0,
@@ -262,7 +264,7 @@ def ba_solve(
 
 def ba_solve_np(
     R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid, fixed,
-    fx, fy, cx, cy, bf, n_iters=10, robust=True,
+    fx, fy, cx, cy, bf, n_iters=10, robust=True, cam=PINHOLE, right=None,
 ):
     """Numpy-facing BA with shape bucketing (K, P, O, Q padded to buckets so
     the frame loop reuses compiled programs). Returns (R, t, X, chi2 [O],
@@ -290,15 +292,18 @@ def ba_solve_np(
     fx_p = pad_to(np.asarray(fixed, bool), Kb, True)
     pap = pad_to(pa.astype(np.int32), Qb, Ob - 1)
     pbp = pad_to(pb.astype(np.int32), Qb, Ob - 1)
+    rt = None if right is None else jnp.asarray(
+        pad_to(np.asarray(right, bool), Ob, False))
     Rf, tf, Xf, cost = ba_solve(
         jnp.asarray(Rp), jnp.asarray(tp), jnp.asarray(Xp), jnp.asarray(okf),
         jnp.asarray(opt), jnp.asarray(uvrp), jnp.asarray(is2), jnp.asarray(st),
         jnp.asarray(vl), jnp.asarray(fx_p), jnp.asarray(pap), jnp.asarray(pbp),
-        fx, fy, cx, cy, bf, n_iters=n_iters, robust=robust,
+        fx, fy, cx, cy, bf, n_iters=n_iters, robust=robust, cam=cam, right=rt,
     )
     chi2, posz = _ba_chi2_jit(
         Rf, tf, Xf, jnp.asarray(okf), jnp.asarray(opt), jnp.asarray(uvrp),
-        jnp.asarray(is2), jnp.asarray(st), fx, fy, cx, cy, bf,
+        jnp.asarray(is2), jnp.asarray(st), fx, fy, cx, cy, bf, cam=cam,
+        right=rt,
     )
     return (
         np.asarray(Rf)[:K], np.asarray(tf)[:K], np.asarray(Xf)[:P],
@@ -306,13 +311,13 @@ def ba_solve_np(
     )
 
 
-def ba_chi2(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, fx, fy, cx, cy, bf):
+def ba_chi2(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, fx, fy, cx, cy, bf, cam=PINHOLE, right=None):
     """Per-observation chi2 + positive-depth flags (for outlier pruning
     between BA phases, ref Optimizer.cc:2064-2120)."""
     Rk = R[obs_kf]
     tk = t[obs_kf]
-    r, _, _, z = project_residuals(Rk, tk, X[obs_pt], uvr, stereo, fx, fy, cx, cy, bf)
+    r, _, _, z = project_residuals(Rk, tk, X[obs_pt], uvr, stereo, fx, fy, cx, cy, bf, cam, right)
     return jnp.sum(r * r, -1) * inv_sigma2, z > 0
 
 
-_ba_chi2_jit = jax.jit(ba_chi2, static_argnames=())
+_ba_chi2_jit = jax.jit(ba_chi2, static_argnames=("cam",))

@@ -31,10 +31,12 @@ from ..core.linalg import spd_solve
 from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight, huber_cost
 from ..imu.preintegration import inertial_residual
 from .ba import _inv3x3, build_obs_pairs
+from .reproj import PINHOLE, cam_residual
 
 
 def _reproj_parts(Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-                  fx, fy, cx, cy, bf, robust, Rcb=None, tcb=None):
+                  fx, fy, cx, cy, bf, robust, Rcb=None, tcb=None,
+                  cam=PINHOLE, is_right=None):
     """Residuals + Jacobians wrt body-frame increments (dp, dphi) and X.
 
     Xb = Rwb^T (X - p); Xc = Rcb Xb + tcb (camera<-body extrinsic; identity
@@ -50,20 +52,10 @@ def _reproj_parts(Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
         Xc = Xb
     else:
         Xc = Xb @ Rcb.T + tcb
-    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
-    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-    inv_z = 1.0 / zs
-    inv_z2 = inv_z * inv_z
-    u = fx * x * inv_z + cx
-    v_ = fy * y * inv_z + cy
-    ur = u - bf * inv_z
-    smask = stereo.astype(dtype)
-    r = jnp.stack([u - uvr[..., 0], v_ - uvr[..., 1], (ur - uvr[..., 2]) * smask], -1)
-    zeros = jnp.zeros_like(x)
-    du = jnp.stack([fx * inv_z, zeros, -fx * x * inv_z2], -1)
-    dv = jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], -1)
-    dur = du + jnp.stack([zeros, zeros, bf * inv_z2], -1)
-    Jproj = jnp.stack([du, dv, dur * smask[..., None]], -2)  # [O,3,3]
+    # camera-generic residual rows (ref: the reference projects every
+    # VI visual edge through GeometricCamera — G2oTypes.cc EdgeMono)
+    r, Jproj, z = cam_residual(Xc, uvr, stereo, fx, fy, cx, cy, bf,
+                               cam, is_right)
     if Rcb is None:
         eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Xb.shape + (3,))
         dXc_du = jnp.concatenate([-eye, hat(Xb)], -1)  # [O,3,6]

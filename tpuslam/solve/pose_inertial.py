@@ -42,6 +42,7 @@ from ..core.lie import so3_exp, so3_log, hat
 from ..core.linalg import spd_solve
 from ..core.robust import huber_weight
 from .inertial_ba import _edge_residual_of_eps
+from .reproj import PINHOLE, cam_residual
 
 CHI2_MONO_SCHED = (12.0, 7.5, 5.991, 5.991)
 CHI2_STEREO_SCHED = (15.6, 9.8, 7.815, 7.815)
@@ -49,7 +50,7 @@ CHI2_STEREO_SCHED = (15.6, 9.8, 7.815, 7.815)
 
 def _visual_parts(Rwb, p, X, uvr, inv_sigma2, stereo, use,
                   Rcb, tcb, fx, fy, cx, cy, bf, chi2_mono, chi2_stereo,
-                  robust):
+                  robust, cam=PINHOLE, is_right=None):
     """Only-pose reprojection residuals + Jacobians wrt the frame's
     (dp, dphi) body increments, through the camera<-body extrinsic.
 
@@ -59,20 +60,10 @@ def _visual_parts(Rwb, p, X, uvr, inv_sigma2, stereo, use,
     dtype = X.dtype
     Xb = (X - p) @ Rwb                      # row-wise Rwb^T (X - p)
     Xc = Xb @ Rcb.T + tcb
-    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
-    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-    inv_z = 1.0 / zs
-    inv_z2 = inv_z * inv_z
-    u = fx * x * inv_z + cx
-    v_ = fy * y * inv_z + cy
-    ur = u - bf * inv_z
-    sm = stereo.astype(dtype)
-    r = jnp.stack([u - uvr[:, 0], v_ - uvr[:, 1], (ur - uvr[:, 2]) * sm], -1)
-    zeros = jnp.zeros_like(x)
-    du = jnp.stack([fx * inv_z, zeros, -fx * x * inv_z2], -1)
-    dv = jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], -1)
-    dur = du + jnp.stack([zeros, zeros, bf * inv_z2], -1)
-    Jproj = jnp.stack([du, dv, dur * sm[:, None]], -2)          # [N,3,3]
+    # camera-generic residual rows (ref: G2oTypes.cc EdgeMonoOnlyPose
+    # projects through pCamera)
+    r, Jproj, z = cam_residual(Xc, uvr, stereo, fx, fy, cx, cy, bf,
+                               cam, is_right)
     nRcb = jnp.broadcast_to(-Rcb, Xb.shape + (3,))
     dXc = jnp.concatenate([nRcb, jnp.einsum("ij,njk->nik", Rcb, hat(Xb))], -1)
     J = Jproj @ dXc                                             # [N,3,6]

@@ -33,13 +33,13 @@ import jax.numpy as jnp
 from ..core import lie
 from ..core.linalg import spd_solve
 from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_cost, huber_weight
-from .reproj import project_residuals
+from .reproj import PINHOLE, project_residuals
 
 ROUNDS = 4
 ITERS = 10
 
 
-@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters", "cam"))
 def pose_optimize(
     R0,
     t0,
@@ -57,6 +57,8 @@ def pose_optimize(
     n_iters: int = ITERS,
     damping: float = 1e-4,
     step_tol: float = 1e-16,
+    cam=PINHOLE,
+    is_right=None,
 ):
     """Returns (R, t, inlier_mask, chi2_per_obs).
 
@@ -68,7 +70,7 @@ def pose_optimize(
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO).astype(dtype)
 
     def normal_eqs(R, t, use, robust):
-        r, J, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)
+        r, J, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf, cam, is_right)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         w = jnp.where(robust, huber_weight(chi2, chi2_th), 1.0)
         w = w * inv_sigma2 * use.astype(dtype)
@@ -80,7 +82,7 @@ def pose_optimize(
 
     def cost_terms(R, t, use, robust):
         """Per-observation robustified cost [N] (0 where unused)."""
-        r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)
+        r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf, cam, is_right)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         c = huber_cost(chi2, chi2_th) if robust else chi2
         ok = use & (z > 0)
@@ -127,10 +129,10 @@ def pose_optimize(
             (0, R, t, lam0, jnp.asarray(jnp.inf, dtype)),
         )
         # outlier re-classification on ALL valid obs (ref: Optimizer.cc:1100+)
-        r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)
+        r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf, cam, is_right)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         use = valid & (chi2 <= chi2_th) & (z > 0)
-    r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf)
+    r, _, _, z = project_residuals(R, t, X, uvr, is_stereo, fx, fy, cx, cy, bf, cam, is_right)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
     inliers = valid & (chi2 <= chi2_th) & (z > 0)
     return R, t, inliers, chi2

@@ -32,11 +32,17 @@ def _tpu_backend() -> bool:
 def pose_optimize_best(*args, **kw):
     """pose_optimize, routed to the fused Pallas kernel on TPU backends.
 
-    The Pallas kernel is f32-only (the TPU dtype); other backends (CPU
-    tests run f64 under jax_enable_x64) use the XLA implementation.
+    The Pallas kernel is f32-only (the TPU dtype) and PINHOLE-only;
+    KB8/fisheye solves (a `cam` kwarg with kind != 'pinhole') always use
+    the camera-generic XLA implementation. Other backends (CPU tests run
+    f64 under jax_enable_x64) use the XLA implementation too.
     """
-    if _tpu_backend():
+    cam = kw.get("cam")
+    generic = cam is not None and getattr(cam, "kind", "pinhole") != "pinhole"
+    if _tpu_backend() and not generic:
         from .pose_opt_pallas import pose_optimize_fused
 
+        kw.pop("cam", None)
+        kw.pop("is_right", None)
         return pose_optimize_fused(*args, **kw)
     return pose_optimize(*args, **kw)
