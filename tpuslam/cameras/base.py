@@ -43,6 +43,16 @@ class CameraModel:
             [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]], dtype=np.float32
         )
 
+    @property
+    def spec(self):
+        """Static CamSpec for the optimization residuals (solve/reproj.py)
+        — the analogue of handing the reference's g2o edges a
+        GeometricCamera pointer. Pinhole solvers take intrinsics via the
+        fx..bf scalars, so the base spec carries no parameters."""
+        from ..solve.reproj import PINHOLE
+
+        return PINHOLE
+
     def project(self, Xc):
         """[...,3] camera-frame points -> [...,2] pixels."""
         raise NotImplementedError

@@ -93,6 +93,12 @@ class KannalaBrandt8(CameraModel):
         self.lapping = (0, width) if lapping is None else (int(lapping[0]), int(lapping[1]))
 
     @property
+    def spec(self):
+        from ..solve.reproj import CamSpec
+
+        return CamSpec(kind="kb8", k=tuple(float(v) for v in self.k))
+
+    @property
     def full_params(self):
         """Static 8-tuple (fx, fy, cx, cy, k0..k3) for the functional API
         (what solve/reproj.py's CamSpec carries)."""

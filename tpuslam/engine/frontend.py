@@ -71,8 +71,11 @@ class Frontend:
         BFMatcher knn + Lowe 0.7 — and KannalaBrandt8::TriangulateMatches
         KannalaBrandt8.cpp:334 with reprojection/parallax gates).
 
-        R_rl, t_rl: right<-left extrinsic. Depth is stored; u_right stays
-        unset (fisheye observations are per-camera mono residuals)."""
+        R_rl, t_rl: right<-left extrinsic. Depth is stored, and u_right
+        carries the scaled-inverse-depth measurement bf/z that forms the
+        third residual row of KB8 stereo observations (solve/reproj.py
+        cam_uv_jac) — the scale anchor the reference gets from its
+        right-camera edges."""
         import jax
         from ..ops import match as M
         from ..ops.twoview import triangulate_batch
@@ -122,6 +125,8 @@ class Frontend:
                 & (e_r < 5.991) & (cosp < 0.99998)
             depth[il[ok]] = X[ok, 2]
         f.depth = depth
+        f.u_right = np.where(depth > 0, self.bf / np.maximum(depth, 1e-6),
+                             -1.0)
         return f
 
     def process_rgbd(self, img, depth_map,

@@ -351,6 +351,7 @@ def window_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2, opt_kfs,
         jnp.asarray(rw_g), jnp.asarray(rw_a),
         jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
         prior_g=prior_g, prior_a=prior_a, n_iters=n_iters,
+        cam=camera.spec,
     )
     Rf, pf, vf, bgf, baf, Xf = [np.asarray(x) for x in out[:6]]
     if not np.isfinite(out[6]):
@@ -375,7 +376,7 @@ def window_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2, opt_kfs,
         jnp.asarray(np.stack([c[1] for c in cams])),
         jnp.asarray(Xf), jnp.asarray(obs_kf_a), jnp.asarray(obs_pt_a),
         jnp.asarray(uvr_a), jnp.asarray(inv_s2_a), jnp.zeros(Ob, bool),
-        camera.fx, camera.fy, camera.cx, camera.cy, 0.0,
+        camera.fx, camera.fy, camera.cx, camera.cy, 0.0, cam=camera.spec,
     )
     chi2 = np.asarray(chi2)[:O]
     posz = np.asarray(posz)[:O]

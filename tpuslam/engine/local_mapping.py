@@ -28,6 +28,7 @@ class LocalMapper:
     def __init__(self, camera, cfg: SlamConfig, slam_map: SlamMap,
                  imu_calib=None, mono: bool = True, bf: float = 0.0):
         self.camera = camera
+        self.camspec = camera.spec
         self.cfg = cfg
         self.map = slam_map
         self.bf = bf
@@ -263,14 +264,27 @@ class LocalMapper:
             R12 = R1 @ R2.T
             t12 = -R12 @ t2 + t1
             E12 = np.asarray(lie.hat(jnp.asarray(t12))) @ R12
-            Kinv = np.linalg.inv(cam.K().astype(np.float64))
-            F12 = Kinv.T @ E12 @ Kinv
-            # epipolar lines for kf features in kn image: l2 = F12^T x1
-            x1h = np.concatenate([f1.und_xy, np.ones((f1.n, 1))], 1)
-            lines = x1h @ F12  # [N,3] lines in image 2
-            emask = M.epipolar_mask_np(
-                f2.und_xy, lines, f2.octave, self.sf ** 2
-            )
+            if self.camspec.kind == "kb8":
+                # fisheye: no common image plane for a pixel F-matrix —
+                # gate on the essential matrix in NORMALIZED ray coords
+                # (the camera-generic equivalent of the reference's KB8
+                # epipolarConstrain, KannalaBrandt8.cpp:202). Thresholds
+                # scale from pixels to normalized units by 1/fx.
+                x1h = np.concatenate([f1.norm_xy, np.ones((f1.n, 1))], 1)
+                lines = x1h @ E12
+                emask = M.epipolar_mask_np(
+                    f2.norm_xy, lines, f2.octave,
+                    self.sf ** 2 / float(cam.fx) ** 2,
+                )
+            else:
+                Kinv = np.linalg.inv(cam.K().astype(np.float64))
+                F12 = Kinv.T @ E12 @ Kinv
+                # epipolar lines for kf features in kn image: l2 = F12^T x1
+                x1h = np.concatenate([f1.und_xy, np.ones((f1.n, 1))], 1)
+                lines = x1h @ F12  # [N,3] lines in image 2
+                emask = M.epipolar_mask_np(
+                    f2.und_xy, lines, f2.octave, self.sf ** 2
+                )
             mask = emask & free1[:, None] & free2[None, :]
             # NO ratio test here: the reference's SearchForTriangulation
             # gates on dist<TH_LOW + epipolar only (ORBmatcher.cc:1061-1085)
@@ -466,11 +480,12 @@ class LocalMapper:
             m.kf_R[kf_list], m.kf_t[kf_list], m.mp_pos[pts],
             obs_kf, obs_pt, uvr, inv_s2, stereo, np.ones(len(obs_kf), bool),
             fixed, cam.fx, cam.fy, cam.cx, cam.cy, self.bf, n_iters=5,
+            cam=self.camspec,
         )
         good = (chi2 <= chi2_th) & posz
         Rf, tf, Xf, chi2, posz = B.ba_solve_np(
             Rf, tf, Xf, obs_kf, obs_pt, uvr, inv_s2, stereo, good,
-            fixed, cam.fx, cam.fy, cam.cx, cam.cy, self.bf,
+            fixed, cam.fx, cam.fy, cam.cx, cam.cy, self.bf, cam=self.camspec,
             n_iters=self.cfg.mapping.local_ba_iters,
         )
         # write back

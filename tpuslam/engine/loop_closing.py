@@ -134,6 +134,7 @@ class LoopCloser:
             jnp.asarray(is2_l), jnp.asarray(is2_c),
             cam.fx, cam.fy, cam.cx, cam.cy, sub,
             n_hyp=lcfg.ransac_hypotheses, fix_scale=self.fix_scale,
+            cam=cam.spec,
         )
         if int(out["n_inliers"]) < lcfg.min_ransac_inliers:
             return False
@@ -143,6 +144,7 @@ class LoopCloser:
             jnp.asarray(uv_l), jnp.asarray(uv_c),
             jnp.asarray(is2_l), jnp.asarray(is2_c),
             cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=self.fix_scale,
+            cam=cam.spec,
         )
         if int(n_inl) < lcfg.min_sim3_inliers:
             return False
@@ -348,6 +350,7 @@ class LoopCloser:
             np.array(uvr), np.array(inv_s2), np.array(stereo, bool),
             np.ones(len(obs_kf), bool), fixed,
             cam.fx, cam.fy, cam.cx, cam.cy, bf, n_iters=n_iters,
+            cam=cam.spec,
         )
         for k, i in kf_index.items():
             if not fixed[i]:

@@ -31,14 +31,19 @@ class Sensor(enum.Enum):
 class System:
     def __init__(self, camera, cfg: SlamConfig | None = None,
                  sensor: Sensor = Sensor.MONOCULAR, imu_calib=None,
-                 vocab=None, bf: float = 0.0, async_mapping: bool = False):
+                 vocab=None, bf: float = 0.0, async_mapping: bool = False,
+                 camera2=None, Tlr=None):
         """vocab: a place.BinaryVocabulary; enables loop closing and BoW
         relocalization (ref: System ctor loads ORBvoc, System.cc:85).
         bf: fx * baseline in pixels (ref Camera.bf) for stereo/RGB-D.
         async_mapping: run local mapping + loop closing on a worker thread
-        (the reference's LocalMapping/LoopClosing threads; visual-only)."""
+        (the reference's LocalMapping/LoopClosing threads; visual-only).
+        camera2/Tlr: the right camera of a fisheye (KB8) stereo rig and
+        the left<-right extrinsic 4x4 (ref Camera2.* + Tlr YAML keys,
+        src/Tracking.cc:95-134) — enables the fisheye stereo path."""
         self.cfg = cfg or SlamConfig()
         self.camera = camera
+        self.camera2 = camera2
         self.sensor = sensor
         use_imu = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
         if use_imu and imu_calib is None:
@@ -76,6 +81,7 @@ class System:
             sensor="mono" if mono else "stereo",
             imu_calib=imu_calib if use_imu else None,
             loop_closer=closer_for_tracker, bf=bf,
+            camera2=camera2, Tlr=Tlr,
         )
 
     # ------------------------------------------------------------------ API

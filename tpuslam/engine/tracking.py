@@ -57,12 +57,33 @@ class Frame:
 class Tracker:
     def __init__(self, camera, cfg: SlamConfig, slam_map: SlamMap,
                  local_mapper=None, sensor="mono", imu_calib=None,
-                 loop_closer=None, bf: float = 0.0):
+                 loop_closer=None, bf: float = 0.0,
+                 camera2=None, Tlr=None):
+        """camera2/Tlr: right camera + left<-right extrinsics of a fisheye
+        (KB8) stereo rig (ref: Tracking ctor Camera2.* + Tlr parsing,
+        src/Tracking.cc:95-134). When set, stereo frames route through the
+        lapping-area fisheye matcher instead of the rectified row-banded
+        one, and all solvers project through the KB8 model."""
         self.camera = camera
         self.cfg = cfg
         self.map = slam_map
         self.bf = bf
         self.frontend = Frontend(camera, cfg.orb, bf=bf)
+        self.camera2 = camera2
+        if camera2 is not None:
+            Tlr = np.asarray(Tlr if Tlr is not None else np.eye(4), np.float64)
+            # Tlr maps right-cam coords into the left frame (ref yaml
+            # comment: 'from right camera to left'); the frontend
+            # triangulator needs Trl (right<-left)
+            R_lr, t_lr = Tlr[:3, :3], Tlr[:3, 3]
+            self.R_rl = R_lr.T
+            self.t_rl = -R_lr.T @ t_lr
+        else:
+            self.R_rl = self.t_rl = None
+        # solvers see left-camera observations only (fisheye right features
+        # are consumed by depth triangulation, not as residuals), so the
+        # left camera's spec covers every solve
+        self.camspec = camera.spec
         self.local_mapper = local_mapper
         self.loop_closer = loop_closer
         self.sensor = sensor
@@ -132,7 +153,7 @@ class Tracker:
             jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(X), jnp.asarray(uvr),
             jnp.asarray(inv_s2), jnp.asarray(st), jnp.asarray(valid),
             self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
-            self.bf,
+            self.bf, cam=self.camspec,
         )
         return np.asarray(Rf), np.asarray(tf), np.asarray(inl)[:n], sel
 
@@ -234,7 +255,7 @@ class Tracker:
             anchor_fixed,
             jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
             self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
-            self.bf,
+            self.bf, cam=self.camspec,
         )
         Rb, pb, vb, bgf, baf, inl, H15, _ = out
         Rb, pb = np.asarray(Rb), np.asarray(pb)
@@ -260,7 +281,10 @@ class Tracker:
         if self.use_imu and imu is not None and len(imu):
             self.imu_since_kf.extend(np.asarray(imu, np.float64).tolist())
         with T.stage("extract"):
-            if img_right is not None:
+            if img_right is not None and self.camera2 is not None:
+                feats = self.frontend.process_stereo_fisheye(
+                    img, img_right, self.camera2, self.R_rl, self.t_rl)
+            elif img_right is not None:
                 feats = self.frontend.process_stereo(img, img_right)
             elif depth is not None:
                 feats = self.frontend.process_rgbd(
@@ -441,7 +465,7 @@ class Tracker:
             np.zeros(n_obs, bool), np.ones(n_obs, bool),
             np.array([True, False]),
             self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy, 0.0,
-            n_iters=20,
+            n_iters=20, cam=self.camspec,
         )
         m.kf_R[kf1] = Rf[1]
         m.kf_t[kf1] = tf[1]
@@ -499,9 +523,11 @@ class Tracker:
             z = f.depth[i]
             if z <= 0 or (n >= max_new and z > th):
                 break
-            u, v = f.und_xy[i]
-            Xc = np.array([(u - cam.cx) / cam.fx * z,
-                           (v - cam.cy) / cam.fy * z, z])
+            # back-project through the camera model: norm_xy is the z=1
+            # unprojected ray, so this is exact for pinhole AND fisheye
+            # (ref: UnprojectStereoFishEye Frame.cc:1245)
+            nx, ny = f.norm_xy[i]
+            Xc = np.array([nx * z, ny * z, z])
             Xw = Rwc @ Xc + Ow
             mp = m.add_point(Xw, kf, int(i))
             frame.mp[i] = mp

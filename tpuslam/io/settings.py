@@ -48,6 +48,8 @@ class Settings:
     raw: dict
     rectification: dict | None = None  # {left: {K,D,R,P}, right: {...},
     #                                     height, width} (ref LEFT./RIGHT.)
+    camera2: object | None = None      # fisheye rig right camera (Camera2.*)
+    Tlr: np.ndarray | None = None      # left<-right 4x4 (ref Tlr)
 
     @property
     def has_imu(self):
@@ -90,7 +92,11 @@ def load_settings(path: str, width: int | None = None,
     h = int(get("Camera.height", height or 480))
     if cam_type.lower() in ("kannalabrandt8", "kb8", "fisheye"):
         k = [float(get(f"Camera.k{i}", 0.0)) for i in (1, 2, 3, 4)]
-        camera = KannalaBrandt8([fx, fy, cx, cy, *k], w, h)
+        lap = None
+        if get("Camera.lappingBegin") is not None:
+            lap = (int(get("Camera.lappingBegin")),
+                   int(get("Camera.lappingEnd", w)))
+        camera = KannalaBrandt8([fx, fy, cx, cy, *k], w, h, lapping=lap)
     else:
         camera = Pinhole(
             [fx, fy, cx, cy], w, h,
@@ -141,6 +147,25 @@ def load_settings(path: str, width: int | None = None,
             height=int(get("LEFT.height", h)),
             width=int(get("LEFT.width", w)),
         )
+    # fisheye stereo rig: second KB8 camera + left<-right extrinsic
+    # (ref: Tracking.cc:95-134 parses Camera2.*, Tlr, lapping areas for
+    # the KannalaBrandt8 stereo configuration, e.g. TUM_512.yaml)
+    camera2 = None
+    Tlr = None
+    if get("Camera2.fx") is not None:
+        k2 = [float(get(f"Camera2.k{i}", 0.0)) for i in (1, 2, 3, 4)]
+        lap2 = None
+        if get("Camera2.lappingBegin") is not None:
+            lap2 = (int(get("Camera2.lappingBegin")),
+                    int(get("Camera2.lappingEnd", w)))
+        camera2 = KannalaBrandt8(
+            [float(get("Camera2.fx")), float(get("Camera2.fy")),
+             float(get("Camera2.cx")), float(get("Camera2.cy")), *k2],
+            w, h, lapping=lap2)
+        if get("Tlr") is not None:
+            T = _parse_opencv_matrix(get("Tlr"))
+            Tlr = np.eye(4)
+            Tlr[: T.shape[0], : T.shape[1]] = T
     return Settings(camera=camera, cfg=cfg, bf=bf, fps=fps,
                     imu_calib=imu_calib, Tbc=Tbc, raw=raw,
-                    rectification=rect)
+                    rectification=rect, camera2=camera2, Tlr=Tlr)

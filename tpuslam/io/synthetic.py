@@ -236,12 +236,21 @@ class Trajectory:
         return Rcw, -Rcw @ p
 
 
-def render(planes, Rcw, tcw, height, width, fx, fy, cx, cy):
-    """Exact perspective ray-cast of the textured room -> [H,W] f32 image."""
+def render(planes, Rcw, tcw, height, width, fx, fy, cx, cy, camera=None):
+    """Exact ray-cast of the textured room -> [H,W] f32 image.
+
+    camera=None: perspective (pinhole) rays from fx/fy/cx/cy. Otherwise
+    any CameraModel (e.g. KannalaBrandt8): rays from camera.unproject on
+    the pixel grid — exact fisheye rendering."""
     ys, xs = np.mgrid[0:height, 0:width]
-    rays_c = np.stack(
-        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], -1
-    )
+    if camera is not None:
+        uv = np.stack([xs, ys], -1).astype(np.float64).reshape(-1, 2)
+        rays_c = np.asarray(
+            camera.unproject(jnp.asarray(uv))).reshape(height, width, 3)
+    else:
+        rays_c = np.stack(
+            [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], -1
+        )
     Rwc = Rcw.T
     origin = -Rwc @ tcw
     rays_w = rays_c @ Rwc.T  # [H,W,3]
@@ -299,11 +308,23 @@ class SyntheticSequence:
         baseline=0.1,
         imu_rate=200.0,
         kind="forward_arc",
+        camera=None,
+        camera2=None,
+        Trl=None,
     ):
+        """camera/camera2: optional CameraModel pair for non-pinhole
+        (fisheye) rendering; Trl [4x4] right-from-left rig extrinsic
+        (defaults to a pure x-baseline like the pinhole path)."""
         rng = np.random.RandomState(seed)
         self.planes = make_room(rng)
         self.traj = Trajectory(kind=kind, speed=speed)
         self.height, self.width = height, width
+        self.camera = camera
+        self.camera2 = camera2
+        if camera is not None:
+            fx, fy = camera.fx, camera.fy
+            cx, cy = camera.cx, camera.cy
+            self.height, self.width = camera.height, camera.width
         self.fx, self.fy = fx, fy
         self.cx = cx if cx is not None else width / 2.0
         self.cy = cy if cy is not None else height / 2.0
@@ -311,6 +332,10 @@ class SyntheticSequence:
         self.n_frames = n_frames
         self.baseline = baseline
         self.imu_rate = imu_rate
+        if Trl is None:
+            Trl = np.eye(4)
+            Trl[:3, 3] = [-baseline, 0.0, 0.0]
+        self.Trl = np.asarray(Trl, np.float64)
 
     def timestamps(self):
         return np.arange(self.n_frames) / self.fps
@@ -321,13 +346,16 @@ class SyntheticSequence:
     def frame(self, i, right=False):
         t = i / self.fps
         Rcw, tcw = self.traj.pose_cw(t)
+        cam = self.camera
         if right:
-            # right camera: shifted along camera +x axis by baseline
-            # Tc2w = Trl @ Tcw with Trl = (I, [-b,0,0])
-            tcw = tcw + np.array([-self.baseline, 0.0, 0.0])
+            # right camera: Tc2w = Trl * Tcw
+            R_rl, t_rl = self.Trl[:3, :3], self.Trl[:3, 3]
+            Rcw = R_rl @ Rcw
+            tcw = R_rl @ tcw + t_rl
+            cam = self.camera2 if self.camera2 is not None else self.camera
         return render(
             self.planes, Rcw, tcw, self.height, self.width,
-            self.fx, self.fy, self.cx, self.cy,
+            self.fx, self.fy, self.cx, self.cy, camera=cam,
         )
 
     def imu_between(self, t0, t1):

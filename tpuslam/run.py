@@ -87,7 +87,9 @@ def main(argv=None):
             vocab = load_vocabulary(args.vocab)
     slam = System(st.camera, st.cfg, sensor=sensor,
                   imu_calib=st.imu_calib if "imu" in args.sensor else None,
-                  vocab=vocab, bf=st.bf)
+                  vocab=vocab, bf=st.bf,
+                  camera2=st.camera2 if "stereo" in args.sensor else None,
+                  Tlr=st.Tlr)
 
     rectifier = st.make_rectifier() if "stereo" in args.sensor else None
     times_ms = []

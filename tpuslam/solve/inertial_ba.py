@@ -124,7 +124,7 @@ def _inertial_parts(Rwb, p, v, bg, ba, edges_a, edges_b, pre_stack, bg0, ba0,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "robust", "opt_bias", "opt_vel",
-                     "prior_g", "prior_a"),
+                     "prior_g", "prior_a", "cam"),
 )
 def vi_ba_solve(
     Rwb, p, v, bg, ba, X,
@@ -137,6 +137,7 @@ def vi_ba_solve(
     prior_g: float = 0.0, prior_a: float = 0.0,
     n_iters: int = 10, robust: bool = True,
     opt_bias: bool = True, opt_vel: bool = True,
+    cam=PINHOLE, is_right=None,
 ):
     """Damped GN loop for visual-inertial BA. Returns (Rwb,p,v,bg,ba,X,cost).
 
@@ -154,6 +155,7 @@ def vi_ba_solve(
         r, Jp6, Jl, w, cost_v = _reproj_parts(
             Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
             fx, fy, cx, cy, bf, True if robust else False, Rcb, tcb,
+            cam, is_right,
         )
         # landmark blocks
         Jl_w = Jl * w[:, None, None]
@@ -260,7 +262,8 @@ def vi_ba_solve(
         Rwb, p, v, bg, ba, X = state
         _, _, _, _, c_v = _reproj_parts(
             Rwb, p, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-            fx, fy, cx, cy, bf, True if robust else False, Rcb, tcb)
+            fx, fy, cx, cy, bf, True if robust else False, Rcb, tcb,
+            cam, is_right)
         ri = _edge_res(
             jnp.zeros(15, dtype), jnp.zeros(15, dtype),
             Rwb[edges_a], p[edges_a], v[edges_a], bg[edges_a], ba[edges_a],

@@ -91,7 +91,7 @@ _prior_jac = jax.jacfwd(_prior_residual_of_eps)
 _edge_jac1 = jax.jacfwd(_edge_residual_of_eps, argnums=(0, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters", "cam"))
 def pose_inertial_solve(
     # anchor body state (last KF or last frame)
     R1, p1, v1, bg1, ba1,
@@ -107,6 +107,7 @@ def pose_inertial_solve(
     # camera<-body extrinsic + intrinsics
     Rcb, tcb, fx, fy, cx, cy, bf,
     n_rounds: int = 4, n_iters: int = 10,
+    cam=PINHOLE, is_right=None,
 ):
     """Returns (R2, p2, v2, bg2, ba2, inliers, H15, n_inliers).
 
@@ -128,7 +129,8 @@ def pose_inertial_solve(
         # visual (frame block = dims 15..21)
         r, J, w, _, _ = _visual_parts(
             R2_, p2_, X, uvr, inv_sigma2, stereo, use, Rcb, tcb,
-            fx, fy, cx, cy, bf, chi2_mono, chi2_stereo, robust)
+            fx, fy, cx, cy, bf, chi2_mono, chi2_stereo, robust,
+            cam, is_right)
         JW = J * w[:, None, None]
         H = H.at[15:21, 15:21].add(jnp.einsum("nij,nik->jk", JW, J))
         b = b.at[15:21].add(-jnp.einsum("nij,ni->j", JW, r))
@@ -197,7 +199,7 @@ def pose_inertial_solve(
         # re-classify on ALL valid obs with this round's threshold
         _, _, _, chi2, z = _visual_parts(
             state[5], state[6], X, uvr, inv_sigma2, stereo, valid,
-            Rcb, tcb, fx, fy, cx, cy, bf, cm, cs, False)
+            Rcb, tcb, fx, fy, cx, cy, bf, cm, cs, False, cam, is_right)
         chi2_th = jnp.where(stereo, cs, cm).astype(dtype)
         use = valid & (chi2 <= chi2_th) & (z > 0)
 

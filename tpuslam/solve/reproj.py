@@ -127,11 +127,24 @@ def cam_uv_jac(Xc, is_stereo, fx, fy, cx, cy, bf, cam: CamSpec = PINHOLE,
         z = jnp.where(right, Xr[..., 2], z_l)
     else:
         uv, Jp2, z = uv_l, J_l, z_l
-    pad = jnp.zeros(Xc.shape[:-1] + (1,), dtype)
-    uvr = jnp.concatenate([uv, pad], axis=-1)
-    Jproj = jnp.concatenate(
-        [Jp2, jnp.zeros(Xc.shape[:-1] + (1, 3), dtype)], axis=-2
-    )
+    # third row: scaled-inverse-depth measurement bf/z for observations
+    # flagged is_stereo (features whose depth was triangulated across the
+    # rig). The pinhole stereo row uR = uL - bf/z pins metric scale the
+    # same way; here the pure bf/z part is kept because fisheye cameras
+    # share no common image plane for a disparity. Noise scaling matches
+    # the disparity row (sigma ~ pixel sigma), so inv_sigma2 applies
+    # unchanged. (The reference instead adds right-camera mono edges via
+    # Trl — OptimizableTypes.h:59 — which pins scale equivalently; those
+    # are available here through is_right when right obs are tracked.)
+    zs_l = jnp.where(jnp.abs(z_l) < 1e-6, 1e-6, z_l)
+    inv_zl = 1.0 / zs_l
+    smask = is_stereo.astype(dtype)
+    d_row = (bf * inv_zl * smask)[..., None]
+    uvr = jnp.concatenate([uv, d_row], axis=-1)
+    zeros = jnp.zeros_like(z_l)
+    J_d = jnp.stack([zeros, zeros, -bf * inv_zl * inv_zl * smask],
+                    axis=-1)[..., None, :]
+    Jproj = jnp.concatenate([Jp2, J_d], axis=-2)
     return uvr, Jproj, z
 
 
@@ -141,10 +154,10 @@ def cam_residual(Xc, uvr, is_stereo, fx, fy, cx, cy, bf,
     and measured (u, v, uR). Third row zeroed for mono/kb8 rows."""
     pred, Jproj, z = cam_uv_jac(Xc, is_stereo, fx, fy, cx, cy, bf, cam,
                                 is_right)
-    # zero unused rows of the measurement too (mono uR is garbage)
+    # zero unused rows of the measurement too (mono third row is garbage).
+    # kb8 stereo rows measure bf/z_meas in uvr[...,2] (see cam_uv_jac).
     meas_mask = jnp.ones_like(pred).at[..., 2].set(
-        is_stereo.astype(pred.dtype) if cam.kind == "pinhole"
-        else jnp.zeros(pred.shape[:-1], pred.dtype)
+        is_stereo.astype(pred.dtype)
     )
     r = (pred - uvr * meas_mask) * meas_mask
     return r, Jproj, z

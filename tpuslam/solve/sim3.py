@@ -48,10 +48,11 @@ def horn_sim3(X1, X2, fix_scale: bool = False):
     return s, R, t
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyp", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=("n_hyp", "fix_scale", "cam"))
 def sim3_ransac(X1, X2, valid, uv1, uv2, inv_s2_1, inv_s2_2,
                 fx, fy, cx, cy, key, n_hyp: int = 256,
-                fix_scale: bool = False, th_chi2: float = 9.21):
+                fix_scale: bool = False, th_chi2: float = 9.21,
+                cam=None):
     """RANSAC Sim3 between matched 3D point sets, inliers by two-way
     reprojection (ref Sim3Solver::CheckInliers).
 
@@ -72,6 +73,9 @@ def sim3_ransac(X1, X2, valid, uv1, uv2, inv_s2_1, inv_s2_2,
         X2in1 = si[..., None, None] * jnp.einsum(
             "hij,hnj->hni", Rt, X2[None] - t[:, None, :])
         def proj(X):
+            if cam is not None and cam.kind == "kb8":
+                from ..cameras.kb8 import kb8_project
+                return kb8_project((fx, fy, cx, cy) + tuple(cam.k), X)
             z = jnp.maximum(X[..., 2], 1e-6)
             return jnp.stack([fx * X[..., 0] / z + cx,
                               fy * X[..., 1] / z + cy], -1)
@@ -118,10 +122,11 @@ def sim3_ransac(X1, X2, valid, uv1, uv2, inv_s2_1, inv_s2_2,
     return dict(s=sB, R=RB, t=tB, inliers=inlB, n_inliers=inlB.sum())
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale", "cam"))
 def optimize_sim3(s0, R0, t0, X1, X2, valid, uv1, uv2, inv_s2_1, inv_s2_2,
                   fx, fy, cx, cy, n_iters: int = 10,
-                  fix_scale: bool = False, th_chi2: float = 10.0):
+                  fix_scale: bool = False, th_chi2: float = 10.0,
+                  cam=None):
     """GN refinement of Sim3 (2<-1) minimizing two-way reprojection error
     (ref: Optimizer::OptimizeSim3 src/Optimizer.cc:3734 — EdgeSim3ProjectXYZ
     + EdgeInverseSim3ProjectXYZ, Huber-free with chi2 gating per iter).
@@ -141,6 +146,9 @@ def optimize_sim3(s0, R0, t0, X1, X2, valid, uv1, uv2, inv_s2_1, inv_s2_2,
         X1in2 = s2 * (X1 @ R2.T) + t2
         X2in1 = (1.0 / s2) * ((X2 - t2) @ R2)
         def proj(X):
+            if cam is not None and cam.kind == "kb8":
+                from ..cameras.kb8 import kb8_project
+                return kb8_project((fx, fy, cx, cy) + tuple(cam.k), X)
             z = jnp.maximum(X[..., 2], 1e-6)
             return jnp.stack([fx * X[..., 0] / z + cx,
                               fy * X[..., 1] / z + cy], -1)
