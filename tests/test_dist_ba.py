@@ -39,12 +39,38 @@ def test_dist_ba_matches_single(rng):
     assert np.abs(tf - t1).max() < 1e-3
 
 
-def test_shard_observations_landmark_aligned(rng):
+def test_shard_observations_balanced(rng):
+    """Round-robin sharding: exact load balance; cross-shard landmark
+    sums are handled by the psum in the matrix-free Schur solve, so no
+    landmark alignment is required."""
     obs_pt = rng.randint(0, 50, 400).astype(np.int32)
     shards, per = D.shard_observations(obs_pt, 4)
     assert sum(len(s) for s in shards) == 400
-    assert per > max(len(s) for s in shards)
-    # landmark-aligned: each point's obs all in one shard
-    for j in range(50):
-        holders = [i for i, s in enumerate(shards) if np.any(obs_pt[s] == j)]
-        assert len(holders) <= 1
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
+    assert per >= max(sizes)
+
+
+def test_dist_ba_in_step_acceptance(rng):
+    """Hard problem (large initial noise + outliers): the in-step
+    accept/reject must keep the cost monotone non-increasing. The
+    round-2 lagged schedule applied iteration i's accept decision to
+    iteration i-1's cost and could lock in a diverging step."""
+    # 10x the usual initial perturbation: early LM trials overshoot and
+    # must be REJECTED on their own post-step cost, then retried damped
+    R, t, X, args = _prep_ba(rng, n_pts=60, n_kf=4, noise=0.3,
+                             perturb_pose=0.3, perturb_pt=0.5)
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("obs",))
+    Rf, tf, Xf, cost = D.dist_ba_solve(
+        mesh,
+        np.asarray(args["R"]), np.asarray(args["t"]), np.asarray(args["X"]),
+        np.asarray(args["obs_kf"]), np.asarray(args["obs_pt"]),
+        np.asarray(args["uvr"]), np.asarray(args["inv_sigma2"]),
+        np.asarray(args["stereo"]), np.asarray(args["valid"]),
+        np.asarray(args["fixed"]), FX, FY, CX, CY, BF, n_iters=25,
+    )
+    # still converges to ground truth from the hard start
+    for k in range(2, len(R)):
+        assert np.abs(Rf[k] - R[k]).max() < 5e-3, k
+        assert np.abs(tf[k] - t[k]).max() < 5e-2, k

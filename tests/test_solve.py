@@ -183,3 +183,21 @@ def test_ba_robust_to_outliers(rng):
     )
     chi2 = np.asarray(chi2)
     assert (chi2[out_idx] > 7.8).mean() > 0.9
+
+
+def test_ba_cg_matches_dense_schur(rng):
+    """The matrix-free CG Schur step (GBA-scale path, solve/schur_cg.py)
+    reaches the same solution as the dense-pair exact solve."""
+    R, t, X, args = _prep_ba(rng, n_pts=80, n_kf=5, noise=0.3)
+    common = (args["R"], args["t"], args["X"], args["obs_kf"],
+              args["obs_pt"], args["uvr"], args["inv_sigma2"],
+              args["stereo"], args["valid"], args["fixed"],
+              args["pair_a"], args["pair_b"])
+    Rd, td, Xd, _ = B.ba_solve(*common, FX, FY, CX, CY, BF, n_iters=12)
+    Rc, tc, Xc, _ = B.ba_solve(*common, FX, FY, CX, CY, BF, n_iters=12,
+                               use_cg=True, cg_iters=40)
+    assert np.abs(np.asarray(Rd) - np.asarray(Rc)).max() < 1e-4
+    assert np.abs(np.asarray(td) - np.asarray(tc)).max() < 1e-3
+    for k in range(2, len(R)):
+        assert np.abs(np.asarray(Rc)[k] - R[k]).max() < 2e-3
+        assert np.abs(np.asarray(tc)[k] - t[k]).max() < 2e-2

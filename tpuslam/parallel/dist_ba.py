@@ -1,19 +1,24 @@
 """Distributed bundle adjustment over a device mesh.
 
 The genuinely new layer relative to the reference (which is single-process
-with 4 threads — SURVEY.md §2.3): observations and landmark blocks are
-sharded across devices on a 1-D mesh axis "obs"; each device reduces its
-observation blocks into partial Hpp / Hll / W / Schur contributions; the
-reduced camera system is summed with psum over ICI and solved replicated
-(it is small: 6K x 6K); landmark back-substitution is again local + psum.
+with 4 threads — SURVEY.md §2.3): observations are sharded across devices
+on a 1-D mesh axis "obs"; each device reduces its observation slice into
+partial Hpp / Hll / W blocks; the reduced camera system is solved with a
+MATRIX-FREE preconditioned CG (solve/schur_cg.py) whose per-iteration
+communication is one psum of [P,3] + one of [K,6] — no dense [K,K,6,6]
+system, no Q = sum deg^2 pair lists, no landmark-aligned sharding
+requirement (cross-shard landmark sums ride the psum).
+
+LM semantics: the sharded step evaluates the POST-step cost inside the
+same program and accept/rejects the CURRENT trial (matching ba_solve /
+g2o OptimizationAlgorithmLevenberg), returning both costs — round 2's
+one-iteration-lagged acceptance is gone.
 
 Design per BASELINE.json north star: "distributed BA via Schur-complement
 reduction over psum/all-gather collectives".
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax
@@ -22,15 +27,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core import lie
-from ..core.linalg import spd_solve
 from ..core.robust import CHI2_MONO, CHI2_STEREO, huber_weight, huber_cost
 from ..solve.reproj import PINHOLE, project_residuals
-from ..solve.ba import _inv3x3, build_obs_pairs
+from ..solve.ba import _inv3x3
+from ..solve.schur_cg import pcg_solve
 
 
 def _local_blocks(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
                   fx, fy, cx, cy, bf, robust, cam=PINHOLE, right=None):
-    """Per-shard residual/Jacobian reduction (runs on each device's slice)."""
+    """Per-shard residual/Jacobian reduction (runs on each device's slice).
+
+    Returns per-shard partial (Hpp, bp, Hll, bl) plus the LOCAL per-obs
+    weighted Jacobian blocks Wo and per-obs cost terms."""
     K = R.shape[0]
     Pn = X.shape[0]
     dtype = X.dtype
@@ -42,8 +50,9 @@ def _local_blocks(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
     chi2_th = jnp.where(stereo, CHI2_STEREO, CHI2_MONO).astype(dtype)
     w_rob = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
     w = w_rob * inv_sigma2 * valid.astype(dtype) * (z > 0).astype(dtype)
-    cost = jnp.sum(jnp.where(valid & (z > 0),
-                             huber_cost(chi2, chi2_th) if robust else chi2, 0.0))
+    cost_terms = jnp.where(valid & (z > 0),
+                           huber_cost(chi2, chi2_th) if robust else chi2,
+                           0.0)
     Jp_w = Jp * w[:, None, None]
     Jl_w = Jl * w[:, None, None]
     Hpp = jnp.zeros((K, 6, 6), dtype).at[obs_kf].add(
@@ -55,172 +64,162 @@ def _local_blocks(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
     bl = jnp.zeros((Pn, 3), dtype).at[obs_pt].add(
         -jnp.einsum("oij,oi->oj", Jl_w, r))
     Wo = jnp.einsum("oij,oik->ojk", Jp_w, Jl)
-    return Hpp, bp, Hll, bl, Wo, cost
+    return Hpp, bp, Hll, bl, Wo, cost_terms
 
 
-def make_dist_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, robust=True, cam=PINHOLE):
-    """Builds a shard_map'd damped-GN BA step.
+def _cost_local(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
+                fx, fy, cx, cy, bf, robust, cam=PINHOLE, right=None):
+    Rk = R[obs_kf]
+    tk = t[obs_kf]
+    r, _, _, z = project_residuals(Rk, tk, X[obs_pt], uvr, stereo,
+                                   fx, fy, cx, cy, bf, cam, right)
+    chi2 = jnp.sum(r * r, -1) * inv_sigma2
+    chi2_th = jnp.where(stereo, CHI2_STEREO, CHI2_MONO).astype(r.dtype)
+    c = huber_cost(chi2, chi2_th) if robust else chi2
+    return jnp.where(valid & (z > 0), c, 0.0)
+
+
+def make_dist_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, robust=True,
+                      cam=PINHOLE, cg_iters: int = 30):
+    """Builds a shard_map'd damped-LM trial step with in-step acceptance.
 
     Replicated: poses (R [K,3,3], t [K,3]), points X [P,3], fixed [K], lam.
-    Sharded on "obs": obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
-    pair_a, pair_b (pair indices are LOCAL to the shard's observation slice
-    — the host builds pairs per shard, which is exact when each landmark's
-    observations stay in one shard, i.e. landmark-aligned sharding).
+    Sharded on "obs": obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid.
 
-    Returns step(R, t, X, lam, *obs) -> (R', t', X', cost).
-    """
+    Returns step(R, t, X, fixed, lam, *obs) ->
+        (R', t', X', cost_before, cost_after)
+    where (R', t', X') is the TRIAL result and both costs are evaluated
+    in the same program, so the host's accept/reject uses the current
+    trial (g2o semantics, unlike the lagged round-2 schedule)."""
+
+    def psum(x):
+        return jax.lax.psum(x, "obs")
 
     def step_local(R, t, X, fixed, lam, obs_kf, obs_pt, uvr, inv_sigma2,
-                   stereo, valid, pair_a, pair_b):
-        K = R.shape[0]
+                   stereo, valid):
         dtype = X.dtype
-        Hpp, bp, Hll, bl, Wo, cost = _local_blocks(
+        Hpp, bp, Hll, bl, Wo, cost_terms = _local_blocks(
             R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
             fx, fy, cx, cy, bf, robust, cam,
         )
-        # global landmark blocks: a landmark's obs may span shards -> psum
-        Hll = jax.lax.psum(Hll, "obs")
-        bl = jax.lax.psum(bl, "obs")
-        cost = jax.lax.psum(cost, "obs")
-        Hpp = jax.lax.psum(Hpp, "obs")
-        bp = jax.lax.psum(bp, "obs")
+        # reduce per-shard partial sums, then across shards
+        cost0 = psum(jnp.sum(cost_terms))
+        Hll = psum(Hll)
+        bl = psum(bl)
+        Hpp = psum(Hpp)
+        bp = psum(bp)
         eye6 = jnp.eye(6, dtype=dtype)
         eye3 = jnp.eye(3, dtype=dtype)
-        Hpp_d = Hpp + lam * (eye6 * jnp.diagonal(Hpp, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye6
-        Hll_d = Hll + lam * (eye3 * jnp.diagonal(Hll, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye3
+        Hpp_d = Hpp + lam * (eye6 * jnp.diagonal(
+            Hpp, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye6
+        Hll_d = Hll + lam * (eye3 * jnp.diagonal(
+            Hll, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye3
         Hll_inv = _inv3x3(Hll_d)
+        # reduced rhs: b_red = bp - sum_o A_o bl[pt(o)]
         Ao = Wo @ Hll_inv[obs_pt]
-        # local pair contributions to the reduced camera system, then psum
-        S = jnp.zeros((K * K, 6, 6), dtype)
-        Mq = Ao[pair_a] @ jnp.swapaxes(Wo[pair_b], -1, -2)
-        blk = obs_kf[pair_a] * K + obs_kf[pair_b]
-        S = S.at[blk].add(-Mq)
-        S = jax.lax.psum(S, "obs")
-        S = S.at[jnp.arange(K) * K + jnp.arange(K)].add(Hpp_d)
-        S = S.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-        b_red = bp - jax.lax.psum(
-            jnp.zeros((K, 6), dtype).at[obs_kf].add(
-                jnp.einsum("oij,oj->oi", Ao, bl[obs_pt])), "obs")
-        b_red = b_red.reshape(K * 6)
-        free6 = jnp.repeat(~fixed, 6)
-        S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
-        S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
-        b_red = jnp.where(free6, b_red, 0.0)
-        dx_pose = spd_solve(S, b_red).reshape(K, 6)  # replicated solve
-        WtDx = jax.lax.psum(
-            jnp.zeros((X.shape[0], 3), dtype).at[obs_pt].add(
-                jnp.einsum("oij,oi->oj", Wo, dx_pose[obs_kf])), "obs")
+        b_red = bp - psum(
+            jnp.zeros_like(bp).at[obs_kf].add(
+                jnp.einsum("oij,oj->oi", Ao, bl[obs_pt])))
+        free6 = jnp.repeat(~fixed, 6).reshape(-1, 6)
+        # matrix-free PCG on the reduced camera system; the matvec's
+        # segment-sums run on the local slice and psum across shards
+        dx_pose = pcg_solve(
+            b_red, Hpp_d, Hll_inv, Wo, obs_kf, obs_pt, free6,
+            n_iters=cg_iters, psum=psum)
+        # landmark back-substitution
+        WtDx = psum(
+            jnp.zeros_like(bl).at[obs_pt].add(
+                jnp.einsum("oij,oi->oj", Wo, dx_pose[obs_kf])))
         dx_pt = jnp.einsum("pij,pj->pi", Hll_inv, bl - WtDx)
         dR, dt = lie.se3_exp(dx_pose)
         R_new = jnp.where(fixed[:, None, None], R, dR @ R)
         t_new = jnp.where(fixed[:, None], t,
                           jnp.einsum("kij,kj->ki", dR, t) + dt)
-        return R_new, t_new, X + dx_pt, cost
+        X_new = X + dx_pt
+        # post-step cost in the SAME program -> in-step accept/reject
+        cost1 = psum(jnp.sum(_cost_local(
+            R_new, t_new, X_new, obs_kf, obs_pt, uvr, inv_sigma2, stereo,
+            valid, fx, fy, cx, cy, bf, robust, cam)))
+        return R_new, t_new, X_new, cost0, cost1
 
     spec_rep = P()
     spec_obs = P("obs")
-    step = shard_map(
+    return shard_map(
         step_local,
         mesh=mesh,
         in_specs=(spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
-                  spec_obs, spec_obs, spec_obs, spec_obs, spec_obs, spec_obs,
-                  spec_obs, spec_obs),
-        out_specs=(spec_rep, spec_rep, spec_rep, spec_rep),
+                  spec_obs, spec_obs, spec_obs, spec_obs, spec_obs,
+                  spec_obs),
+        out_specs=(spec_rep, spec_rep, spec_rep, spec_rep, spec_rep),
     )
-    return step
 
 
 def shard_observations(obs_pt, n_shards, pad_multiple=256):
-    """Landmark-aligned observation sharding: observations of the same
-    landmark go to the same shard (keeps pair lists shard-local and the
-    Schur reduction exact). Returns (perm, shard_sizes, padded_len).
+    """Round-robin observation sharding with padding.
 
-    Host-side partitioning — the covisibility-aware partition of
-    SURVEY.md §7 step 12 starts here (round-robin over landmarks by
-    descending degree = load balance)."""
-    obs_pt = np.asarray(obs_pt)
-    uniq, counts = np.unique(obs_pt, return_counts=True)
-    order = np.argsort(-counts)
-    load = np.zeros(n_shards, np.int64)
-    cnt = dict(zip(uniq.tolist(), counts.tolist()))
-    shard_of_pt = {}
-    for j in uniq[order]:
-        s = int(np.argmin(load))
-        shard_of_pt[int(j)] = s
-        load[s] += cnt[int(j)]
-    shards = [[] for _ in range(n_shards)]
-    for o, j in enumerate(obs_pt):
-        shards[shard_of_pt[int(j)]].append(o)
-    # strictly > max shard size so every shard keeps >=1 invalid slot for
-    # pair-list padding to point at
-    per = int(np.ceil((max(max(len(s) for s in shards), 1) + 1) / pad_multiple)) * pad_multiple
+    The matrix-free Schur solve psums landmark partials, so observations
+    of one landmark MAY span shards — no landmark alignment needed.
+    Plain strided round-robin balances load exactly. Returns
+    (shards: list[list[int]], per: padded per-shard length)."""
+    O = len(np.asarray(obs_pt))
+    shards = [list(range(s, O, n_shards)) for s in range(n_shards)]
+    per = int(np.ceil(max(max(len(s) for s in shards), 1)
+                      / pad_multiple)) * pad_multiple
     return shards, per
 
 
+def pack_sharded(arr, shards, per, fill):
+    """[O,...] -> [n_shards*per, ...] padded per-shard layout."""
+    arr = np.asarray(arr)
+    out = np.full((len(shards), per) + arr.shape[1:], fill, arr.dtype)
+    for s, idx in enumerate(shards):
+        out[s, : len(idx)] = arr[idx]
+    return out.reshape((len(shards) * per,) + arr.shape[1:])
+
+
 def dist_ba_solve(mesh, R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo,
-                  valid, fixed, fx, fy, cx, cy, bf, n_iters=10, robust=True):
-    """Host-orchestrated LM loop over the sharded GN step. Inputs numpy."""
+                  valid, fixed, fx, fy, cx, cy, bf, n_iters=10, robust=True,
+                  cam=PINHOLE, cg_iters: int = 30):
+    """Host-orchestrated LM loop over the sharded trial step.
+
+    Inputs numpy; returns (R, t, X, cost). One 'iteration' = one accepted
+    step (g2o semantics) with a 3x trial cap, acceptance evaluated on the
+    CURRENT trial's post-step cost."""
     n_shards = mesh.devices.size
     shards, per = shard_observations(obs_pt, n_shards)
-    O_pad = per * n_shards
-    K = len(R)
 
-    def pack(arr, fill):
-        out = np.full((n_shards, per) + np.asarray(arr).shape[1:], fill,
-                      np.asarray(arr).dtype)
-        for s, idx in enumerate(shards):
-            out[s, : len(idx)] = np.asarray(arr)[idx]
-        return out.reshape((O_pad,) + np.asarray(arr).shape[1:])
+    okf = jnp.asarray(pack_sharded(np.asarray(obs_kf, np.int32), shards, per, 0))
+    opt = jnp.asarray(pack_sharded(np.asarray(obs_pt, np.int32), shards, per, 0))
+    uvr_p = jnp.asarray(pack_sharded(np.asarray(uvr), shards, per, 0.0))
+    is2 = jnp.asarray(pack_sharded(np.asarray(inv_sigma2), shards, per, 0.0))
+    st = jnp.asarray(pack_sharded(np.asarray(stereo, bool), shards, per, False))
+    vl = jnp.asarray(pack_sharded(np.asarray(valid, bool), shards, per, False))
 
-    okf = pack(np.asarray(obs_kf, np.int32), 0)
-    opt = pack(np.asarray(obs_pt, np.int32), 0)
-    uvr_p = pack(np.asarray(uvr), 0.0)
-    is2 = pack(np.asarray(inv_sigma2), 0.0)
-    st = pack(np.asarray(stereo, bool), False)
-    vl = pack(np.asarray(valid, bool), False)
-    # per-shard local pair lists (local obs indices within the shard slice)
-    Q_per = 1
-    pair_lists = []
-    for s, idx in enumerate(shards):
-        pa, pb = build_obs_pairs(np.asarray(obs_pt)[idx], len(X))
-        pair_lists.append((pa, pb))
-        Q_per = max(Q_per, len(pa))
-    Q_per = int(np.ceil(Q_per / 256)) * 256
-    pa_all = np.zeros((n_shards, Q_per), np.int32)
-    pb_all = np.zeros((n_shards, Q_per), np.int32)
-    for s, (pa, pb) in enumerate(pair_lists):
-        # pad pairs with an index pointing at an invalid (zero-weight) slot
-        pad_idx = len(shards[s])  # always < per by construction
-        pa_all[s, : len(pa)] = pa
-        pb_all[s, : len(pb)] = pb
-        pa_all[s, len(pa):] = pad_idx
-        pb_all[s, len(pb):] = pad_idx
-    pa_all = pa_all.reshape(-1)
-    pb_all = pb_all.reshape(-1)
-
-    step = make_dist_ba_step(mesh, fx, fy, cx, cy, bf, robust)
-    step = jax.jit(step)
-
+    step = jax.jit(make_dist_ba_step(mesh, fx, fy, cx, cy, bf, robust,
+                                     cam, cg_iters))
     Rj = jnp.asarray(R)
     tj = jnp.asarray(t)
     Xj = jnp.asarray(X)
     fixedj = jnp.asarray(fixed)
     lam = 1e-4
-    cost_prev = None
-    for _ in range(n_iters):
-        R2, t2, X2, cost = step(
+    cost = None
+    n_acc = 0
+    n_tot = 0
+    while n_acc < n_iters and n_tot < 3 * n_iters:
+        R2, t2, X2, c0, c1 = step(
             Rj, tj, Xj, fixedj, jnp.asarray(lam, Xj.dtype),
-            jnp.asarray(okf), jnp.asarray(opt), jnp.asarray(uvr_p),
-            jnp.asarray(is2), jnp.asarray(st), jnp.asarray(vl),
-            jnp.asarray(pa_all), jnp.asarray(pb_all),
+            okf, opt, uvr_p, is2, st, vl,
         )
-        c = float(cost)
-        if cost_prev is None or c < cost_prev:
-            # cost returned is the cost BEFORE the step; evaluate accept by
-            # next iteration's cost — simple monotone schedule here
+        c0f, c1f = float(c0), float(c1)
+        cost = c0f if cost is None else cost
+        n_tot += 1
+        if c1f < c0f:  # in-step acceptance on the CURRENT trial
             Rj, tj, Xj = R2, t2, X2
             lam = max(lam * 0.5, 1e-9)
-            cost_prev = c
+            cost = c1f
+            n_acc += 1
+            if (c0f - c1f) < 1e-8 * max(c0f, 1e-20):
+                break
         else:
             lam = min(lam * 4.0, 1e6)
-    return np.asarray(Rj), np.asarray(tj), np.asarray(Xj), cost_prev
+    return np.asarray(Rj), np.asarray(tj), np.asarray(Xj), cost

@@ -126,8 +126,11 @@ def _residuals_weights(d: BAData, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE)
     return r, Jp, Jl, w, cost, chi2, z
 
 
-def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE):
-    """One damped GN step. Returns (R_new, t_new, X_new, cost_terms_before)."""
+def _assemble_blocks(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool,
+                     cam=PINHOLE):
+    """Shared normal-equation assembly: damped block diagonals + weighted
+    coupling blocks (used by both the dense-pair Schur and the
+    matrix-free CG step)."""
     K = d.R.shape[0]
     P = d.X.shape[0]
     dtype = d.X.dtype
@@ -151,8 +154,51 @@ def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE):
     eye3 = jnp.eye(3, dtype=dtype)
     Hpp_d = Hpp + lam * (eye6 * jnp.diagonal(Hpp, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye6
     Hll_d = Hll + lam * (eye3 * jnp.diagonal(Hll, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye3
+    return Hpp_d, bp, _inv3x3(Hll_d), bl, Wo, cost
 
-    Hll_inv = _inv3x3(Hll_d)
+
+def _apply_step(d: BAData, dx_pose, Hll_inv, Wo, bl):
+    """Back-substitute landmarks and apply the SE(3) pose increments."""
+    P = d.X.shape[0]
+    dtype = d.X.dtype
+    WtDx = jnp.zeros((P, 3), dtype).at[d.obs_pt].add(
+        jnp.einsum("oij,oi->oj", Wo, dx_pose[d.obs_kf])
+    )
+    dx_pt = jnp.einsum("pij,pj->pi", Hll_inv, bl - WtDx)
+    dR, dt = lie.se3_exp(dx_pose)
+    R_new = dR @ d.R
+    t_new = jnp.einsum("kij,kj->ki", dR, d.t) + dt
+    R_new = jnp.where(d.fixed[:, None, None], d.R, R_new)
+    t_new = jnp.where(d.fixed[:, None], d.t, t_new)
+    return R_new, t_new, d.X + dx_pt
+
+
+def _gn_step_cg(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool,
+                cam=PINHOLE, cg_iters: int = 30):
+    """Damped GN step with the MATRIX-FREE Schur solve (solve/schur_cg.py):
+    no pair lists, O(O) work — the GBA-scale path (Q = sum deg^2 pair
+    scatters explode at K in the hundreds / landmark degree 10-20)."""
+    from .schur_cg import pcg_solve
+
+    Hpp_d, bp, Hll_inv, bl, Wo, cost = _assemble_blocks(
+        d, lam, fx, fy, cx, cy, bf, robust, cam)
+    Ao = Wo @ Hll_inv[d.obs_pt]
+    b_red = bp - jnp.zeros_like(bp).at[d.obs_kf].add(
+        jnp.einsum("oij,oj->oi", Ao, bl[d.obs_pt]))
+    free6 = jnp.repeat(~d.fixed, 6).reshape(-1, 6)
+    dx_pose = pcg_solve(b_red, Hpp_d, Hll_inv, Wo, d.obs_kf, d.obs_pt,
+                        free6, n_iters=cg_iters)
+    R_new, t_new, X_new = _apply_step(d, dx_pose, Hll_inv, Wo, bl)
+    return R_new, t_new, X_new, cost
+
+
+def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE):
+    """One damped GN step (dense-pair reduced system + exact Cholesky).
+    Returns (R_new, t_new, X_new, cost_terms_before)."""
+    K = d.R.shape[0]
+    dtype = d.X.dtype
+    Hpp_d, bp, Hll_inv, bl, Wo, cost = _assemble_blocks(
+        d, lam, fx, fy, cx, cy, bf, robust, cam)
     Ao = Wo @ Hll_inv[d.obs_pt]  # [O,6,3]
 
     # reduced camera system S = Hpp - sum_pairs A_{o1} W_{o2}^T
@@ -179,20 +225,7 @@ def _gn_step(d: BAData, lam, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE):
     # f32-robust reduced-camera solve (Jacobi-scaled Cholesky + refinement;
     # LM damping is already in S via the multiplicative block damping above)
     dx_pose = spd_solve(S, b_red).reshape(K, 6)
-
-    # back-substitution for landmarks
-    WtDx = jnp.zeros((P, 3), dtype).at[d.obs_pt].add(
-        jnp.einsum("oij,oi->oj", Wo, dx_pose[d.obs_kf])
-    )
-    dx_pt = jnp.einsum("pij,pj->pi", Hll_inv, bl - WtDx)
-
-    dR, dt = lie.se3_exp(dx_pose)
-    R_new = dR @ d.R
-    t_new = jnp.einsum("kij,kj->ki", dR, d.t) + dt
-    # fixed poses unchanged (masking already zeroes dx, but be exact)
-    R_new = jnp.where(d.fixed[:, None, None], d.R, R_new)
-    t_new = jnp.where(d.fixed[:, None], d.t, t_new)
-    X_new = d.X + dx_pt
+    R_new, t_new, X_new = _apply_step(d, dx_pose, Hll_inv, Wo, bl)
     return R_new, t_new, X_new, cost
 
 
@@ -201,12 +234,12 @@ def _cost_terms(d: BAData, fx, fy, cx, cy, bf, robust: bool, cam=PINHOLE):
     return _residuals_weights(d, fx, fy, cx, cy, bf, robust, cam)[4]
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "robust", "cam"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "robust", "cam", "use_cg", "cg_iters"))
 def ba_solve(
     R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid, fixed,
     pair_a, pair_b, fx, fy, cx, cy, bf,
     n_iters: int = 10, robust: bool = True, lam0: float = 1e-4,
-    cam=PINHOLE, right=None,
+    cam=PINHOLE, right=None, use_cg: bool = False, cg_iters: int = 30,
 ):
     """LM loop with g2o iteration semantics.
 
@@ -230,7 +263,11 @@ def ba_solve(
         R, t, X, lam, cost, _, n_acc, n_tot = carry
         d = BAData(R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo, valid,
                    fixed, pair_a, pair_b, right)
-        R2, t2, X2, _ = _gn_step(d, lam, fx, fy, cx, cy, bf, robust, cam)
+        if use_cg:
+            R2, t2, X2, _ = _gn_step_cg(d, lam, fx, fy, cx, cy, bf, robust,
+                                        cam, cg_iters)
+        else:
+            R2, t2, X2, _ = _gn_step(d, lam, fx, fy, cx, cy, bf, robust, cam)
         d2 = BAData(R2, t2, X2, obs_kf, obs_pt, uvr, inv_sigma2, stereo,
                     valid, fixed, pair_a, pair_b, right)
         # f32-safe acceptance: sum of PER-OBS cost differences — at f32 a
@@ -276,7 +313,15 @@ def ba_solve_np(
     from ..utils.pad import bucket, pad_to
 
     K, P, O = len(R), len(X), len(obs_kf)
-    pa, pb = build_obs_pairs(np.asarray(obs_pt), P)
+    # GBA-scale guard: the pair-scatter reduced system costs Q = sum deg^2
+    # blocks; past ~300k blocks the matrix-free CG Schur (schur_cg.py) is
+    # the faster AND smaller path, so switch automatically
+    deg = np.bincount(np.asarray(obs_pt), minlength=P)
+    use_cg = float((deg.astype(np.int64) ** 2).sum()) > 300_000
+    if use_cg:
+        pa = pb = np.zeros(1, np.int32)
+    else:
+        pa, pb = build_obs_pairs(np.asarray(obs_pt), P)
     Kb, Pb, Ob, Qb = bucket(K, 8), bucket(P, 256), bucket(O, 512), bucket(max(len(pa), 1), 1024)
     Rp = np.zeros((Kb, 3, 3))
     Rp[:] = np.eye(3)
@@ -299,6 +344,7 @@ def ba_solve_np(
         jnp.asarray(opt), jnp.asarray(uvrp), jnp.asarray(is2), jnp.asarray(st),
         jnp.asarray(vl), jnp.asarray(fx_p), jnp.asarray(pap), jnp.asarray(pbp),
         fx, fy, cx, cy, bf, n_iters=n_iters, robust=robust, cam=cam, right=rt,
+        use_cg=use_cg,
     )
     chi2, posz = _ba_chi2_jit(
         Rf, tf, Xf, jnp.asarray(okf), jnp.asarray(opt), jnp.asarray(uvrp),
