@@ -84,6 +84,17 @@ class LoopConfig:
     essential_min_weight: int = 100
     run_gba: bool = True
     gba_max_kfs: int = 200               # ref LoopClosing.cc:1237
+    # temporal consistency: a common region must be re-confirmed on this
+    # many consecutive KFs before correction (ref: LoopClosing.cc:263-500
+    # mnLoopNumCoincidences >= 3; DetectAndReffineSim3FromLastKF :502).
+    # The reference's main false-loop defense.
+    consecutive_kfs: int = 3
+    # pending candidate dropped after this many consecutive refine misses
+    # (ref: mnLoopNumNotFound/mnMergeNumNotFound tolerance of 2)
+    max_not_found: int = 2
+    # refinement success needs this many guided-projection matches
+    # (ref: DetectAndReffineSim3FromLastKF nProjMatches=30)
+    min_refine_matches: int = 30
 
 
 @dataclass

@@ -42,7 +42,11 @@ class LoopCloser:
         self.kf_bow: dict[int, dict] = {}
         self.loop_edges: list = []      # [(ka, kb, (s, R, t))]
         self.n_loops_closed = 0
-        self.consistency: dict[int, int] = {}  # cand group anchor -> count
+        # temporal-consistency state (ref LoopClosing.cc:263-500): one
+        # pending common-region candidate, confirmed across consecutive
+        # KFs before any correction. Keys: cand, last_kf, sim3 (s,R,t:
+        # X_last_kf = S X_cand), count, not_found, merge, match_pairs.
+        self.pending: dict | None = None
         self.sf = slam_map.scale_factors
         self.inv_sigma2 = 1.0 / self.sf ** 2
         self._rng_key = jax.random.PRNGKey(7)
@@ -56,25 +60,116 @@ class LoopCloser:
         self.kf_nodes[kf] = node
         self.kf_bow[kf] = bow
         closed = False
-        # need some map maturity (ref :276-295 needs >= 12 KFs; merges with
-        # other Atlas maps are allowed earlier)
-        cur_map = int(m.kf_map_id[kf])
-        n_cur = len(m.valid_kf_ids())
-        exclude = {kf} | set(m.best_covisible(kf))
-        cands = self.db.detect_candidates(
-            bow, lambda k: m.best_covisible(k, 10), exclude,
-            n_best=self.cfg.loop.n_candidates)
-        for cand, _score in cands:
-            if not m.kf_valid[cand]:
-                continue
-            merge = int(m.kf_map_id[cand]) != cur_map
-            if not merge and n_cur < self.cfg.loop.min_kfs:
-                continue
-            if self._try_loop(kf, cand, merge=merge):
-                closed = True
-                break
+        lcfg = self.cfg.loop
+        # 1) pending candidate: re-confirm on this KF by propagating the
+        #    stored Sim3 through the relative motion and re-projecting
+        #    (ref: NewDetectCommonRegions :302-429 ->
+        #    DetectAndReffineSim3FromLastKF :502)
+        if self.pending is not None and not m.kf_valid[self.pending["cand"]]:
+            self.pending = None
+        if self.pending is not None:
+            if self._refine_pending(kf):
+                self.pending["count"] += 1
+                self.pending["not_found"] = 0
+            else:
+                self.pending["not_found"] += 1
+                if self.pending["not_found"] >= lcfg.max_not_found:
+                    self.pending = None
+        else:
+            # 2) fresh detection via the BoW database
+            # (ref :276-295: same-map loops need >= 12 KFs of maturity;
+            # merges with other Atlas maps are allowed earlier)
+            cur_map = int(m.kf_map_id[kf])
+            n_cur = len(m.valid_kf_ids())
+            exclude = {kf} | set(m.best_covisible(kf))
+            cands = self.db.detect_candidates(
+                bow, lambda k: m.best_covisible(k, 10), exclude,
+                n_best=lcfg.n_candidates)
+            for cand, _score in cands:
+                if not m.kf_valid[cand]:
+                    continue
+                merge = int(m.kf_map_id[cand]) != cur_map
+                if not merge and n_cur < lcfg.min_kfs:
+                    continue
+                det = self._try_loop(kf, cand, merge=merge)
+                if det is not None:
+                    self.pending = dict(
+                        cand=cand, last_kf=kf, sim3=det["sim3"], count=1,
+                        not_found=0, merge=merge,
+                        match_pairs=det["match_pairs"])
+                    break
+        # 3) enough consecutive confirmations -> correct
+        if (self.pending is not None
+                and self.pending["count"] >= lcfg.consecutive_kfs):
+            p = self.pending
+            self.pending = None
+            s, R, t = p["sim3"]
+            self._correct_loop(p["last_kf"], p["cand"], s, R, t,
+                               p["match_pairs"], merge=p["merge"])
+            closed = True
         self.db.add(kf, word, bow)
         return closed
+
+    def _refine_pending(self, kf: int) -> bool:
+        """Confirm the pending common region on a new KF: propagate the
+        stored Sim3 by the relative motion last_kf -> kf, re-project the
+        loop-side local map, and refine (ref:
+        DetectAndReffineSim3FromLastKF LoopClosing.cc:502 — success needs
+        nProjMatches=30 guided matches)."""
+        m = self.map
+        lcfg = self.cfg.loop
+        p = self.pending
+        last, cand = p["last_kf"], p["cand"]
+        if not m.kf_valid[last]:
+            return False
+        s, R, t = p["sim3"]
+        # T_kf<-last from the CURRENT poses; S' = T_kl o S
+        Rkl = m.kf_R[kf] @ m.kf_R[last].T
+        tkl = m.kf_t[kf] - Rkl @ m.kf_t[last]
+        R2 = Rkl @ R
+        t2 = Rkl @ t + tkl
+        n_proj, pairs = self._search_by_projection(kf, cand, s, R2, t2)
+        if n_proj < lcfg.min_refine_matches:
+            return False
+        # refine the Sim3 on the 3D-3D matched pairs (both-way reprojection
+        # GN, the OptimizeSim3 analogue of the reference's refinement)
+        ref = self._refine_sim3(kf, cand, s, R2, t2, pairs)
+        if ref is not None:
+            s, R2, t2 = ref
+        p["sim3"] = (s, R2, t2)
+        p["last_kf"] = kf
+        p["match_pairs"] = pairs
+        return True
+
+    def _refine_sim3(self, kf: int, cand: int, s, R, t, pairs):
+        """optimize_sim3 over matched (cur_mp, loop_mp) pairs; None if too
+        few usable pairs."""
+        m = self.map
+        cam = self.camera
+        usable = [(a, b) for a, b in pairs
+                  if m.mp_valid[a] and m.mp_valid[b]
+                  and kf in m.mp_obs[a] and cand in m.mp_obs[b]]
+        if len(usable) < 10:
+            return None
+        mp_c = np.array([a for a, _ in usable])
+        mp_l = np.array([b for _, b in usable])
+        slot_c = np.array([m.mp_obs[int(a)][kf] for a in mp_c])
+        slot_l = np.array([m.mp_obs[int(b)][cand] for b in mp_l])
+        Xc = m.mp_pos[mp_c] @ m.kf_R[kf].T + m.kf_t[kf]
+        Xl = m.mp_pos[mp_l] @ m.kf_R[cand].T + m.kf_t[cand]
+        fc, fl = m.kf_feats[kf], m.kf_feats[cand]
+        s2, R2, t2, _, n_inl = optimize_sim3(
+            jnp.asarray(s), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(Xl), jnp.asarray(Xc), jnp.ones(len(mp_c), bool),
+            jnp.asarray(fl.und_xy[slot_l]), jnp.asarray(fc.und_xy[slot_c]),
+            jnp.asarray(self.inv_sigma2[fl.octave[slot_l]]),
+            jnp.asarray(self.inv_sigma2[fc.octave[slot_c]]),
+            cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=self.fix_scale,
+            cam=cam.spec,
+        )
+        if int(n_inl) < 10:
+            return None
+        return float(s2), np.asarray(R2), np.asarray(t2)
 
     def on_kf_erased(self, kf: int):
         """Culling hook: drop the KF from the inverted index so it stops
@@ -106,18 +201,22 @@ class LoopCloser:
         ia = np.nonzero(midx >= 0)[0]
         return ia, midx[ia]
 
-    def _try_loop(self, kf: int, cand: int, merge: bool = False) -> bool:
+    def _try_loop(self, kf: int, cand: int, merge: bool = False):
+        """BoW + Sim3-RANSAC + guided-projection detection of a common
+        region (ref: DetectCommonRegionsFromBoW LoopClosing.cc:557).
+        Returns dict(sim3, match_pairs) on success, None otherwise — the
+        CALLER runs the temporal-consistency count before correcting."""
         m = self.map
         lcfg = self.cfg.loop
         ia, ib = self._match_bow(kf, cand)
         if len(ia) < lcfg.min_bow_matches:
-            return False
+            return None
         mp_c = m.kf_mp[kf, ia]
         mp_l = m.kf_mp[cand, ib]
         ok = (mp_c >= 0) & (mp_l >= 0) & m.mp_valid[mp_c] & m.mp_valid[mp_l]
         ia, ib, mp_c, mp_l = ia[ok], ib[ok], mp_c[ok], mp_l[ok]
         if len(ia) < lcfg.min_bow_matches:
-            return False
+            return None
         # 3D sets in each camera frame
         Xc = m.mp_pos[mp_c] @ m.kf_R[kf].T + m.kf_t[kf]
         Xl = m.mp_pos[mp_l] @ m.kf_R[cand].T + m.kf_t[cand]
@@ -137,7 +236,7 @@ class LoopCloser:
             cam=cam.spec,
         )
         if int(out["n_inliers"]) < lcfg.min_ransac_inliers:
-            return False
+            return None
         s, R, t, inl, n_inl = optimize_sim3(
             out["s"], out["R"], out["t"],
             jnp.asarray(Xl), jnp.asarray(Xc), jnp.ones(len(ia), bool),
@@ -147,18 +246,17 @@ class LoopCloser:
             cam=cam.spec,
         )
         if int(n_inl) < lcfg.min_sim3_inliers:
-            return False
+            return None
         s = float(s)
         R = np.asarray(R)
         t = np.asarray(t)
         # guided projection: loop-side local map points into current KF
         n_proj, proj_pairs = self._search_by_projection(kf, cand, s, R, t)
         if n_proj < lcfg.min_proj_matches:
-            return False
+            return None
         inl_np = np.asarray(inl)
         match_pairs = list(zip(mp_c[inl_np], mp_l[inl_np])) + proj_pairs
-        self._correct_loop(kf, cand, s, R, t, match_pairs, merge=merge)
-        return True
+        return dict(sim3=(s, R, t), match_pairs=match_pairs)
 
     def _search_by_projection(self, kf: int, cand: int, s, R, t):
         """Project the loop side's local map into the current KF through the
