@@ -14,6 +14,8 @@ from tpuslam.eval.ate import ate_rmse
 from tpuslam.io.synthetic import SyntheticSequence
 from tpuslam.ops.orb import OrbConfig
 
+pytestmark = pytest.mark.slow  # multi-minute renderer+engine e2e
+
 
 def test_async_mono_quality():
     seq = SyntheticSequence(n_frames=28, fps=10, speed=0.5)

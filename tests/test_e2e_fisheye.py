@@ -22,6 +22,8 @@ from tpuslam.eval.ate import ate_rmse
 from tpuslam.io.synthetic import SyntheticSequence
 from tpuslam.ops.orb import OrbConfig
 
+pytestmark = pytest.mark.slow  # multi-minute renderer+engine e2e
+
 # ~TUM-VI-shaped rig scaled to 256px: equidistant base model, mild k's,
 # half-FOV ~ atan-free theta = r/f up to 128/95 ~ 77 deg
 KB_L = [95.0, 95.0, 128.0, 128.0,

@@ -15,6 +15,8 @@ from tpuslam.io.synthetic import SyntheticSequence
 from tpuslam.ops.orb import OrbConfig
 from tpuslam.place import train_vocabulary
 
+pytestmark = pytest.mark.slow  # multi-minute renderer+engine e2e
+
 
 @pytest.fixture(scope="module")
 def loop_run():

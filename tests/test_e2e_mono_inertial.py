@@ -15,6 +15,8 @@ from tpuslam.imu.preintegration import ImuCalib
 from tpuslam.io.synthetic import SyntheticSequence
 from tpuslam.ops.orb import OrbConfig
 
+pytestmark = pytest.mark.slow  # multi-minute renderer+engine e2e
+
 
 @pytest.fixture(scope="module")
 def vi_run():

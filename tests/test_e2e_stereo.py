@@ -13,6 +13,8 @@ from tpuslam.eval.ate import ate_rmse
 from tpuslam.io.synthetic import SyntheticSequence
 from tpuslam.ops.orb import OrbConfig
 
+pytestmark = pytest.mark.slow  # multi-minute renderer+engine e2e
+
 
 @pytest.fixture(scope="module")
 def stereo_run():

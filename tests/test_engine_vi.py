@@ -13,6 +13,8 @@ from tpuslam.imu import preintegration as PI
 from tpuslam.io.synthetic import SyntheticSequence
 from tpuslam.map.store import FrameFeatures, SlamMap
 
+pytestmark = pytest.mark.slow  # multi-minute renderer+engine e2e
+
 FX = FY = 300.0
 CX = CY = 200.0
 

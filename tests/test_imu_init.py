@@ -10,6 +10,10 @@ from tpuslam.imu import preintegration as PI
 from tpuslam.imu.init import inertial_init_solve, gyro_bias_from_rotations
 from tpuslam.io.synthetic import SyntheticSequence
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute renderer+engine e2e
+
 
 def _vi_init_problem(rng, K=10, s_true=2.5, bg_true=(0.004, -0.003, 0.002),
                      ba_true=(0.0, 0.0, 0.0)):

@@ -12,6 +12,8 @@ from tpuslam.engine.tracking import State
 from tpuslam.io.synthetic import SyntheticSequence
 from tpuslam.ops.orb import OrbConfig
 
+pytestmark = pytest.mark.slow  # full-System module fixture, ~10 min
+
 
 def _make(n_frames=16):
     seq = SyntheticSequence(n_frames=n_frames, fps=10, speed=0.5,

@@ -540,16 +540,36 @@ class Tracker:
         ok = False
         pred = self._predict_imu(frame)
         if self.state == State.OK:
+            # Pose prediction: IMU else LAST POSE. The constant-velocity
+            # extrapolation of the reference (Tracking.cc:1887) is NOT
+            # used for vision-only tracking: extrapolated init error is
+            # 2e_t - e_{t-1}, and because window-gated association
+            # retains a fraction of the init bias, the closed loop's
+            # characteristic root sits on the unit circle — measured as
+            # x2-3 pose-error growth PER FRAME (f32 and f64 alike, any
+            # trajectory/scene). Init at the last solved pose makes the
+            # loop a plain contraction: the same 30-frame sequence went
+            # from 39 m divergence to 14 mm max error. IMU prediction is
+            # physically grounded (no feedback through vision) and keeps
+            # full extrapolation.
             if pred is not None:
                 R0, t0, v_pred = pred
-                ok = self._track_motion_model(frame, R0, t0)
-            elif self.velocity is not None:
-                Rv, tv = self.velocity
-                R0 = Rv @ self.last_frame.R
-                t0 = Rv @ self.last_frame.t + tv
-                ok = self._track_motion_model(frame, R0, t0)
+            else:
+                R0, t0 = self.last_frame.R, self.last_frame.t
+            # DESCRIPTOR-FIRST association (reference-KF match), with the
+            # window-gated motion model as the fallback. The reference
+            # prefers the motion model for CPU speed (Tracking.cc:980);
+            # on TPU the dense Hamming matrix is computed either way, and
+            # window-gated association is pose-DEPENDENT: with per-frame
+            # association inherited through windows centered on the
+            # drifted prediction, chi2-pruned true matches never return
+            # and the tracked set ratchets onto a drift-consistent subset
+            # (measured: x2-3 pose-error growth per frame against a
+            # STATIC map, both f32 and f64; descriptor-first association
+            # holds the same scene at a bounded ~2 cm).
+            ok = self._track_reference_kf(frame, R0, t0)
             if not ok:
-                ok = self._track_reference_kf(frame)
+                ok = self._track_motion_model(frame, R0, t0)
         elif self.state == State.RECENTLY_LOST:
             ok = self._relocalize(frame)
             if not ok and pred is not None:
@@ -699,9 +719,12 @@ class Tracker:
         self.n_inliers = int(inl.sum())
         return self.n_inliers >= cfg.min_inliers_motion
 
-    def _track_reference_kf(self, frame: Frame):
+    def _track_reference_kf(self, frame: Frame, R0=None, t0=None):
         """ref: TrackReferenceKeyFrame (Tracking.cc:1750) — descriptor match
-        against the reference KF's map-point features."""
+        against the reference KF's map-point features. Associations are
+        window-FREE (pure descriptor + ratio test), so they carry no
+        feedback from the predicted pose; R0/t0 only initialize the
+        optimizer."""
         cfg = self.cfg.tracking
         m = self.map
         kf = self.ref_kf
@@ -727,8 +750,9 @@ class Tracker:
         frame.mp = np.full(frame.feats.n, -1, np.int32)
         ok = midx >= 0
         frame.mp[midx[ok]] = kf_mp[sel[ok]]
-        R0 = self.last_frame.R
-        t0 = self.last_frame.t
+        if R0 is None:
+            R0 = self.last_frame.R
+            t0 = self.last_frame.t
         Rf, tf, inl, osel = self._pose_opt(R0, t0, frame, frame.mp)
         frame.R, frame.t = Rf, tf
         frame.mp[osel[~inl]] = -1
@@ -827,81 +851,138 @@ class Tracker:
                 if o not in seen and len(local_kfs) < 80:
                     seen.add(o)
                     local_kfs.append(o)
-        # local points
-        cur_set = set(int(j) for j in frame.mp[frame.mp >= 0])
+        # all local points (the full candidate set is rebuilt every pass)
         ids = np.unique(m.kf_mp[local_kfs])
         ids = ids[ids >= 0]
         ids = ids[m.mp_valid[ids]]
-        cand = np.array([j for j in ids if int(j) not in cur_set], np.int32)
-        if len(cand):
-            X = m.mp_pos[cand]
-            uv, z, Xc = self._project(frame.R, frame.t, X)
-            Ow = -frame.R.T @ frame.t
-            vdir = X - Ow[None]
-            dist = np.linalg.norm(vdir, axis=1)
-            cosv = np.sum(vdir * m.mp_normal[cand], 1) / np.maximum(dist, 1e-9)
-            in_img = (
-                (z > 0)
-                & (uv[:, 0] >= 0) & (uv[:, 0] < self.camera.width)
-                & (uv[:, 1] >= 0) & (uv[:, 1] < self.camera.height)
-                & (dist >= 0.8 * m.mp_min_dist[cand])
-                & (dist <= 1.2 * m.mp_max_dist[cand])
-                & (cosv > 0.5)
-            )  # ref: Frame::isInFrustum (:483)
-            m.mp_visible[cand[in_img]] += 1
-            cand = cand[in_img]
-            uv = uv[in_img]
-            dist = dist[in_img]
-            cosv = cosv[in_img]
-        if len(cand):
-            pred = m.predict_scale(dist, cand)
-            radius = np.where(
-                cosv > 0.998, cfg.local_map_radius_tight, cfg.local_map_radius
-            ) * self.sf[pred]
-            free = frame.mp < 0  # only fill unmatched feature slots
-            mask = (
-                M.window_mask_np(uv, frame.feats.xy, radius)
-                & (frame.feats.valid & free)[None, :]
-                & M.level_mask_np(pred, frame.feats.octave, 1, 0)
-            )
-            # ratio test only when best/second share a pyramid level
-            # (ref: SearchByProjection ORBmatcher.cc:130
-            # bestLevel==bestLevel2 gate)
-            midx, _ = M.match_padded(
-                m.mp_bits[cand], frame.feats.bits, mask,
-                max_dist=M.TH_HIGH, nn_ratio=cfg.nn_ratio_local,
-                oct_b=frame.feats.octave, ratio_same_octave=True,
-            )
-            ok = midx >= 0
-            frame.mp[midx[ok]] = cand[ok]
-        vi = None
-        if self.use_imu and m.imu_initialized:
-            vi = self._pose_opt_vi(frame, frame.mp)
-        if vi is not None:
-            inl, osel = vi
-        else:
-            Rf, tf, inl, osel = self._pose_opt(
-                frame.R, frame.t, frame, frame.mp)
-            frame.R, frame.t = Rf, tf
+        min_req = cfg.min_inliers_local if self.frames_since_kf > 0 else 15
+
+        def search_and_opt(radius_mult: float, count_stats: bool):
+            """One projection-search + pose-opt pass at the frame's current
+            pose; fills only FREE slots of frame.mp. Returns (inl, osel)."""
+            cur_set = set(int(j) for j in frame.mp[frame.mp >= 0])
+            cand = np.array([j for j in ids if int(j) not in cur_set],
+                            np.int32)
+            if len(cand):
+                X = m.mp_pos[cand]
+                uv, z, _ = self._project(frame.R, frame.t, X)
+                Ow = -frame.R.T @ frame.t
+                vdir = X - Ow[None]
+                dist = np.linalg.norm(vdir, axis=1)
+                cosv = np.sum(vdir * m.mp_normal[cand], 1) / np.maximum(
+                    dist, 1e-9)
+                in_img = (
+                    (z > 0)
+                    & (uv[:, 0] >= 0) & (uv[:, 0] < self.camera.width)
+                    & (uv[:, 1] >= 0) & (uv[:, 1] < self.camera.height)
+                    & (dist >= 0.8 * m.mp_min_dist[cand])
+                    & (dist <= 1.2 * m.mp_max_dist[cand])
+                    & (cosv > 0.5)
+                )  # ref: Frame::isInFrustum (:483)
+                if count_stats:
+                    m.mp_visible[cand[in_img]] += 1
+                cand = cand[in_img]
+                uv = uv[in_img]
+                dist = dist[in_img]
+                cosv = cosv[in_img]
+            if len(cand):
+                pred = m.predict_scale(dist, cand)
+                radius = np.where(
+                    cosv > 0.998, cfg.local_map_radius_tight,
+                    cfg.local_map_radius
+                ) * self.sf[pred] * radius_mult
+                free = frame.mp < 0  # only fill unmatched feature slots
+                mask = (
+                    M.window_mask_np(uv, frame.feats.xy, radius)
+                    & (frame.feats.valid & free)[None, :]
+                    & M.level_mask_np(pred, frame.feats.octave, 1, 0)
+                )
+                # ratio test only when best/second share a pyramid level
+                # (ref: SearchByProjection ORBmatcher.cc:130
+                # bestLevel==bestLevel2 gate)
+                midx, _ = M.match_padded(
+                    m.mp_bits[cand], frame.feats.bits, mask,
+                    max_dist=M.TH_HIGH, nn_ratio=cfg.nn_ratio_local,
+                    oct_b=frame.feats.octave, ratio_same_octave=True,
+                )
+                ok = midx >= 0
+                frame.mp[midx[ok]] = cand[ok]
+            vi = None
+            if self.use_imu and m.imu_initialized:
+                vi = self._pose_opt_vi(frame, frame.mp)
+            if vi is not None:
+                inl, osel = vi
+            else:
+                Rf, tf, inl, osel = self._pose_opt(
+                    frame.R, frame.t, frame, frame.mp)
+                frame.R, frame.t = Rf, tf
+            self.n_inliers = int(inl.sum())
+            return inl, osel
+
+        # Pass 1: inherited motion-model associations + local fill-in.
+        inl, osel = search_and_opt(1.0, count_stats=False)
+        if self.n_inliers < 2 * min_req:
+            # weak: widen the window from the refined pose once (ref widens
+            # SearchByProjection th the same way — th=5 after reloc, th=2
+            # retry in TrackWithMotionModel, Tracking.cc:2377-2392)
+            frame.mp[osel[~inl]] = -1
+            inl, osel = search_and_opt(3.0, count_stats=False)
+        # FULL RE-ASSOCIATION, iterated to a fixed point. Inherited
+        # associations are sticky: an inlier pruned by one frame's chi2
+        # gate never returned (motion-model matching only re-feeds
+        # SURVIVORS), so the match set shrank monotonically toward the
+        # subset consistent with the drift direction — a survivor-bias
+        # ratchet, measured at x2-3 error growth PER FRAME against a
+        # STATIC map. Rebuilding every association from the full local
+        # map makes the per-frame estimate conditionally independent
+        # given the pose and lets pruned points return; because the
+        # associations are built at a pose that itself came from biased
+        # matches, the (associate -> solve) map is iterated until the
+        # pose stops moving (one pass is measurably not a fixed point).
+        for it in range(3):
+            t_before = frame.t.copy()
+            frame.mp = np.full(frame.feats.n, -1, np.int32)
+            inl, osel = search_and_opt(1.0, count_stats=(it == 2))
+            if np.linalg.norm(frame.t - t_before) < 1e-4:
+                if it < 2:  # stats not counted yet this frame
+                    m.mp_visible[frame.mp[frame.mp >= 0]] += 1
+                break
         inlier_ids = frame.mp[osel[inl]]
         m.mp_found[inlier_ids] += 1
         frame.mp[osel[~inl]] = -1
         self.n_inliers = int(inl.sum())
-        min_req = cfg.min_inliers_local if self.frames_since_kf > 0 else 15
         return self.n_inliers >= min_req
 
     # -------------------------------------------------------------- keyframes
     def _need_new_keyframe(self, frame: Frame):
-        """ref: NeedNewKeyFrame (Tracking.cc:2089) — c1a/c1b + c2."""
+        """ref: NeedNewKeyFrame (Tracking.cc:2089) — c1a/c1b + c2.
+
+        ref_matches counts the reference KF's WELL-OBSERVED points only
+        (ref: mpReferenceKF->TrackedMapPoints(nMinObs=3),
+        Tracking.cc:2113) — counting every matched slot overstates the
+        baseline and delays c2 until tracking has already degraded.
+        KF starvation is the entry to the association ratchet: the frame
+        keeps tracking an aging map whose projection windows drift off
+        the true matches (measured: 9 starved frames turned a 2 mm pose
+        error into 2 m)."""
         cfg = self.cfg.tracking
         m = self.map
         if self.ref_kf < 0:
             return False
-        ref_matches = int((m.kf_mp[self.ref_kf] >= 0).sum())
+        min_obs = 3 if len(m.valid_kf_ids()) > 2 else 1
+        mp = m.kf_mp[self.ref_kf]
+        mp = mp[mp >= 0]
+        ref_matches = int(sum(
+            1 for j in mp
+            if m.mp_valid[int(j)] and len(m.mp_obs[int(j)]) >= min_obs))
+        # stereo/RGB-D use the tighter 0.75 ratio (ref Tracking.cc:2182
+        # thRefRatio = 0.75 for non-mono sensors)
+        ratio = cfg.kf_ref_ratio if self.sensor == "mono" else \
+            min(cfg.kf_ref_ratio, 0.75)
         c1a = self.frames_since_kf >= cfg.max_frames_between_kf
         c1b = self.frames_since_kf >= cfg.min_frames_between_kf
         c2 = (
-            self.n_inliers < ref_matches * cfg.kf_ref_ratio
+            self.n_inliers < ref_matches * ratio
             and self.n_inliers > cfg.min_kf_inliers
         )
         return (c1a or (c1b and c2)) and self.n_inliers > cfg.min_kf_inliers
