@@ -1,33 +1,22 @@
-"""Benchmark: tracking-frontend throughput on real TPU hardware.
+"""Benchmark: FULL-SYSTEM stereo tracking throughput on real TPU hardware.
 
-Measures the flagship per-frame pipeline (ORB pyramid extraction @ 1024
-features on a 752x480 frame -> MXU Hamming matching vs the previous frame
--> motion-only pose Levenberg-Marquardt, 4x10 schedule) — the reference's
-real-time envelope is 20 fps on EuRoC (BASELINE.md: Camera.fps 20,
-'50 ms/frame tracking budget').
+Round 4 headline (VERDICT r3 item 1): this measures `System.track_stereo`
+END-TO-END — ORB pyramid extraction on both images, stereo depth (SAD
+sub-pixel), reference-KF matching, motion-only LM, iterated local-map
+re-association, KF decision, with local mapping (triangulation + fusion +
+local BA + culling) running on the async worker thread — against the
+reference's 20 fps real-time envelope (BASELINE.md: Camera.fps 20,
+'50 ms/frame tracking budget', protocol Tracking.cc:311-315 SAVE_TIMES).
 
-Measurement rules learned the hard way (round-2 post-mortem, BENCH_r02
-recorded 1.27 fps vs the same code measuring ~690 fps healthy):
+This is the System number, not the kernel-chain number (that one lives in
+bench_frontend.py and PROFILE.md). The tracking hot path is the fused
+on-device step (engine/track_device.py): one dispatch + one value fetch
+per frame, local map device-resident.
 
-1. On the axon-tunneled backend `jax.block_until_ready` returns
-   immediately WITHOUT waiting for device completion; only a literal
-   value fetch (`float(x)`) is a real barrier. Every timing here ends in
-   a value fetch.
-2. A process killed mid-execution leaves the tunnel degraded for the
-   next client (~1.5 s/dispatch instead of ~1.5 ms for minutes). The
-   health probe below detects that state and retries with backoff so a
-   driver run right after the builder is killed doesn't record garbage.
-3. The chain carries frame i's pose into frame i+1 (true sequential
-   per-frame latency, not batch throughput) and the final fetch is the
-   completion barrier; the fixed tunnel round-trip (~25 ms in this
-   environment, not present on a co-located host) is amortized over the
-   chain exactly as the deployed tracker amortizes it by fetching frame
-   t's pose while frame t+1's extraction runs.
-
-Inputs are realistic: the previous frame's descriptors/landmarks come
-from an actual extraction of the same scene so the matcher produces real
-correspondences and the LM solver does real accept/reject work
-(asserted: inliers > 0).
+Measurement rules (round-2 post-mortem, see bench_frontend.py):
+value fetches are the only real barrier on the axon backend (the fused
+tracker's device_get IS that fetch), and a degraded tunnel is detected
+and waited out.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -39,96 +28,98 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_FRAMES = 256
-HEALTH_MS = 50.0  # per-frame above this = degraded tunnel, retry
-N_RETRY = 8
+N_FRAMES = 120
+WARM_FRAMES = 8       # skipped from the timed window (compile + init)
+HEALTH_MS = 400.0     # per-frame above this = degraded tunnel, retry
+N_RETRY = 6
 
 
-def build(forward, args):
-    import jax
-    import jax.numpy as jnp
+def build():
     import numpy as np
-    from tpuslam.ops.orb import OrbConfig, _extract_impl
+    from tpuslam.cameras import Pinhole
+    from tpuslam.engine.config import SlamConfig, TrackingConfig
+    from tpuslam.io.synthetic import SyntheticSequence
+    from tpuslam.ops.orb import OrbConfig
 
-    img, _, _, R0, t0_ = args
-    H, W = img.shape
-    N = 1024
-    FX = FY = 458.0
-    CX, CY = W / 2.0, H / 2.0
-
-    # Previous-frame state from a REAL extraction of the same scene:
-    # descriptors of `img` + landmarks back-projected at a synthetic
-    # fronto-parallel depth. The benchmark frames are small horizontal
-    # shifts of the same image, so matching/pose-opt see genuine
-    # correspondences (a pure-noise prev frame would zero out the inlier
-    # set and let the solver run on an empty mask).
-    @jax.jit
-    def prev_state(im):
-        f = _extract_impl(im, OrbConfig(n_features=N), 20.0, 7.0)
-        z = jnp.full((N,), 4.0, jnp.float32)
-        X = jnp.stack(
-            [
-                (f["xy"][:, 0] - CX) / FX * z,
-                (f["xy"][:, 1] - CY) / FY * z,
-                z,
-            ],
-            axis=-1,
-        )
-        return f["bits"], X
-
-    prev_bits, prev_X = prev_state(img)
-    fj = jax.jit(forward)
-    return fj, img, prev_bits, prev_X, R0, t0_
+    seq = SyntheticSequence(
+        n_frames=N_FRAMES, fps=20, speed=0.5, baseline=0.11,
+        height=480, width=752, fx=458.0, fy=458.0)
+    cam = Pinhole([seq.fx, seq.fy, seq.cx, seq.cy], seq.width, seq.height)
+    cfg = SlamConfig(
+        orb=OrbConfig(n_features=1024),
+        tracking=TrackingConfig(min_stereo_init_features=200),
+    )
+    times = seq.timestamps()
+    frames = [
+        (np.asarray(seq.frame(i), np.float32),
+         np.asarray(seq.frame(i, right=True), np.float32))
+        for i in range(seq.n_frames)
+    ]
+    return seq, cam, cfg, frames, times
 
 
-def chain_time(fj, img, prev_bits, prev_X, R0, t0_, n):
-    """Run an n-frame pose-carry chain; returns (seconds, inliers)."""
-    R, t = R0, t0_
-    start = time.perf_counter()
-    inl = None
-    for _ in range(n):
-        R, t, inl = fj(img, prev_bits, prev_X, R, t)
-    v = float(inl)  # value fetch = the only real barrier on axon
-    return time.perf_counter() - start, v
+def run_system(cam, cfg, frames, times, bf):
+    """One full tracking pass; returns (per_frame_s, slam)."""
+    from tpuslam.engine import System
+    from tpuslam.engine.system import Sensor
+
+    slam = System(cam, cfg, sensor=Sensor.STEREO, bf=bf, async_mapping=True)
+    per = []
+    for i, (l, r) in enumerate(frames):
+        t0 = time.perf_counter()
+        slam.track_stereo(l, r, times[i])
+        per.append(time.perf_counter() - t0)
+    return per, slam
 
 
 def main():
     import numpy as np
 
-    forward, args = __import__("__graft_entry__").entry()
-    fj, img, prev_bits, prev_X, R0, t0_ = build(forward, args)
+    seq, cam, cfg, frames, times = build()
+    bf = seq.fx * seq.baseline
 
-    # compile + warm (fetch so compile/queue effects drain fully)
-    _, inl0 = chain_time(fj, img, prev_bits, prev_X, R0, t0_, 1)
-    assert np.isfinite(inl0) and inl0 > 0, f"no inliers ({inl0}): bench inputs broken"
-
-    # health probe: a killed predecessor process degrades the tunnel to
-    # ~1.5 s/dispatch; wait it out rather than recording garbage.
+    # warm pass: compiles every bucketed program (extract pair, fused step,
+    # mapping solvers); also acts as the tunnel health probe
     for attempt in range(N_RETRY):
-        dt, _ = chain_time(fj, img, prev_bits, prev_X, R0, t0_, 8)
-        per = dt / 8 * 1e3
-        if per < HEALTH_MS:
+        per, slam = run_system(cam, cfg, frames[:24], times[:24], bf)
+        slam.shutdown()
+        steady = per[WARM_FRAMES:]
+        if np.median(steady) * 1e3 < HEALTH_MS:
             break
         print(
-            f"bench: tunnel degraded ({per:.0f} ms/frame), retry {attempt + 1}/{N_RETRY}",
-            file=sys.stderr,
-            flush=True,
-        )
+            f"bench: degraded ({np.median(steady) * 1e3:.0f} ms/frame), "
+            f"retry {attempt + 1}/{N_RETRY}",
+            file=sys.stderr, flush=True)
         time.sleep(25)
 
-    best = float("inf")
-    for _ in range(3):
-        dt, inl = chain_time(fj, img, prev_bits, prev_X, R0, t0_, N_FRAMES)
-        assert np.isfinite(inl)
-        best = min(best, dt / N_FRAMES)
-    fps = 1.0 / best
+    best = None
+    for _ in range(2):
+        per, slam = run_system(cam, cfg, frames, times, bf)
+        # tracked to the end, real map built?
+        from tpuslam.engine.tracking import State
+        assert slam.get_tracking_state() == State.OK, slam.get_tracking_state()
+        assert len(slam.map.valid_kf_ids()) >= 3
+        slam.shutdown()
+        steady = np.asarray(per[WARM_FRAMES:])
+        fps = 1.0 / steady.mean()
+        stats = dict(
+            fps=float(fps),
+            median_ms=float(np.median(steady) * 1e3),
+            p90_ms=float(np.percentile(steady, 90) * 1e3),
+            frames=len(per),
+            kfs=int(len(slam.map.valid_kf_ids())),
+            mps=int(slam.map.mp_valid[: slam.map.n_mp].sum()),
+        )
+        print(f"bench pass: {stats}", file=sys.stderr, flush=True)
+        if best is None or fps > best["fps"]:
+            best = stats
     print(
         json.dumps(
             {
-                "metric": "tracking_frontend_fps_752x480_1024feat",
-                "value": round(fps, 2),
+                "metric": "system_track_stereo_fps_752x480_1024feat",
+                "value": round(best["fps"], 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 20.0, 3),
+                "vs_baseline": round(best["fps"] / 20.0, 3),
             }
         )
     )

@@ -43,6 +43,7 @@ def loop_run():
     times = seq.timestamps()
     for i in range(seq.n_frames):
         slam.track_monocular(seq.frame(i), times[i])
+    slam.shutdown()  # join background GBA before assertions
     return seq, slam
 
 
@@ -58,9 +59,9 @@ def test_loop_closed(loop_run):
     assert len(slam.map.map_ids()) == 1
 
 
-@pytest.mark.xfail(
-    reason="depends on loop closure firing (see above)", strict=False)
 def test_trajectory_after_loop(loop_run):
+    """Hard gate (promoted round 4; xpassed consistently in round 3): the
+    loop-closed trajectory must beat 5% of the circle circumference."""
     seq, slam = loop_run
     traj = slam.trajectory_tum()
     est = np.array([[r[1], r[2], r[3]] for r in traj])

@@ -145,6 +145,7 @@ def loop_setup():
             Xdup[j] = Ow + ray
         m.update_connections(kf_re)
         closed_flags.append(lc.on_new_keyframe(kf_re))
+    lc.wait_gba()  # join the background GBA before assertions
     return dict(m=m, lc=lc, kf_re=kf_re, R_true=R_true, t_true=t_true,
                 closed=closed_flags[-1], closed_flags=closed_flags,
                 Xa=Xa, mp_ids_a=mp_ids_a)

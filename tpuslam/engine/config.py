@@ -83,7 +83,11 @@ class LoopConfig:
     ransac_hypotheses: int = 1024  # batched on device; more = cheaper than failing
     essential_min_weight: int = 100
     run_gba: bool = True
-    gba_max_kfs: int = 200               # ref LoopClosing.cc:1237
+    # GBA runs on a transient background thread with staged corrections
+    # (ref: LoopClosing.cc:1237-1244 + RunGlobalBundleAdjustment :2430);
+    # False = synchronous (deterministic tests). There is NO size gate any
+    # more — large maps switch to the matrix-free Schur CG automatically.
+    background_gba: bool = True
     # temporal consistency: a common region must be re-confirmed on this
     # many consecutive KFs before correction (ref: LoopClosing.cc:263-500
     # mnLoopNumCoincidences >= 3; DetectAndReffineSim3FromLastKF :502).

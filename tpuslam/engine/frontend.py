@@ -125,8 +125,11 @@ class Frontend:
                 & (e_r < 5.991) & (cosp < 0.99998)
             depth[il[ok]] = X[ok, 2]
         f.depth = depth
-        f.u_right = np.where(depth > 0, self.bf / np.maximum(depth, 1e-6),
-                             -1.0)
+        # only flag features as stereo when bf is calibrated: with bf == 0
+        # every depth-valid feature would get u_right = 0 >= 0 and a
+        # degenerate zero third residual row under the looser stereo chi2
+        f.u_right = np.where((depth > 0) & (self.bf > 0),
+                             self.bf / np.maximum(depth, 1e-6), -1.0)
         return f
 
     def process_rgbd(self, img, depth_map,

@@ -40,6 +40,10 @@ class LocalMapper:
         self.imu_init_time: float | None = None
         self.viba_stage = 0  # 0: pre-init, 1: init done, 2: VIBA1, 3: VIBA2
         self._last_refine = -1e9
+        # BA interruption hook (ref: mbAbortBA LocalMapping.cc:103,283 — a
+        # freshly queued KF interrupts a running local BA). The async
+        # mapper points this at its queue's non-empty check.
+        self.abort_check = None
         # debug-dump records (ref: System::SaveDebugData IMU-init internals,
         # System.cc:836-889): (event, t, n_kfs, bg, ba)
         self.debug_events: list[dict] = []
@@ -429,76 +433,101 @@ class LocalMapper:
         """ref: Optimizer::LocalBundleAdjustment (Optimizer.cc:1699):
         window = covisible KFs of kf; points they see; fixed frontier =
         other KFs observing those points; 5+10 LM schedule with chi2 pruning."""
-        m = self.map
-        cam = self.camera
-        window = [kf] + m.best_covisible(kf)
-        wset = set(window)
-        pts = np.unique(m.kf_mp[window])
-        pts = pts[pts >= 0]
-        pts = pts[m.mp_valid[pts]]
-        if len(pts) < 10 or len(window) < 2:
-            return
-        frontier = set()
-        for j in pts:
-            for okf in m.mp_obs[int(j)]:
-                if okf not in wset:
-                    frontier.add(okf)
-        kf_list = window + sorted(frontier)
-        kf_index = {k: i for i, k in enumerate(kf_list)}
-        fixed = np.zeros(len(kf_list), bool)
-        fixed[len(window):] = True
-        if len(frontier) == 0:
-            # gauge: fix ONLY the oldest KF (ref: LocalBundleAdjustment sets
-            # fixed solely for the map-origin KF, Optimizer.cc:1797
-            # vSE3->setFixed(pKF->mnId==pMap->GetInitKFid())). Fixing a
-            # second pose would pin an early two-KF baseline — i.e. the
-            # (possibly drifted) early map scale — into every later solve;
-            # with one fixed pose the mono scale gauge is handled by LM
-            # damping and BA can still reconcile early/late scale.
-            fixed[kf_index[min(window)]] = True
-        pt_index = {int(j): i for i, j in enumerate(pts)}
-        obs_kf, obs_pt, uvr, inv_s2, obs_ref, stereo = [], [], [], [], [], []
-        for j in pts:
-            for okf, slot in m.mp_obs[int(j)].items():
-                f = m.kf_feats[okf]
-                obs_kf.append(kf_index[okf])
-                obs_pt.append(pt_index[int(j)])
-                ur = f.u_right[slot] if f.u_right is not None else -1.0
-                uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1],
-                            ur if ur >= 0 else 0.0])
-                stereo.append(ur >= 0)
-                inv_s2.append(self.inv_sigma2[f.octave[slot]])
-                obs_ref.append((int(j), okf))
-        obs_kf = np.array(obs_kf, np.int32)
-        obs_pt = np.array(obs_pt, np.int32)
-        uvr = np.array(uvr)
-        inv_s2 = np.array(inv_s2)
-        stereo = np.array(stereo, bool)
-        chi2_th = np.where(stereo, 7.815, 5.991)
-        # phase 1 (5 it robust), prune, phase 2 (ref :2048,:2121)
-        Rf, tf, Xf, chi2, posz = B.ba_solve_np(
-            m.kf_R[kf_list], m.kf_t[kf_list], m.mp_pos[pts],
-            obs_kf, obs_pt, uvr, inv_s2, stereo, np.ones(len(obs_kf), bool),
-            fixed, cam.fx, cam.fy, cam.cx, cam.cy, self.bf, n_iters=5,
-            cam=self.camspec,
-        )
-        good = (chi2 <= chi2_th) & posz
+        window = [kf] + self.map.best_covisible(kf)
+        window_ba(self.map, self.camera, self.camspec, self.inv_sigma2,
+                  self.bf, window, n_iters=self.cfg.mapping.local_ba_iters,
+                  abort_check=self.abort_check)
+
+
+def window_ba(m: SlamMap, camera, camspec, inv_sigma2, bf, window,
+              n_iters: int = 15, abort_check=None, fixed_kfs=None):
+    """Local BA over an EXPLICIT keyframe window (the reusable core of
+    Optimizer::LocalBundleAdjustment, Optimizer.cc:1699; also serves the
+    merge weld-area BA, Optimizer.cc:6255 via LoopClosing.cc:1722):
+    optimizes `window` poses + the points they see; other observers form
+    the fixed frontier; 5-iteration robust phase, chi2 prune, then
+    `n_iters` more; outlier observations erased afterwards.
+
+    abort_check: optional callable polled between the two LM phases (the
+    reference's mbAbortBA interruption, LocalMapping.cc:103,283) — if it
+    returns True the second phase is skipped.
+    fixed_kfs: KFs to include in the problem but hold FIXED beyond the
+    frontier (the merge weld BA fixes the whole merge-map side — ref
+    LoopClosing.cc:1722 passes vpMergeConnectedKFs as the fixed set).
+    """
+    cam = camera
+    fixed_kfs = set(int(k) for k in (fixed_kfs or ()))
+    window = sorted(set(int(k) for k in window)
+                    - fixed_kfs)  # dedup; fixed side handled below
+    window = [k for k in window if m.kf_valid[k]]
+    wset = set(window)
+    pts = np.unique(m.kf_mp[window]) if window else np.zeros(0, int)
+    pts = pts[pts >= 0]
+    pts = pts[m.mp_valid[pts]]
+    if len(pts) < 10 or len(window) < 2:
+        return
+    frontier = set(k for k in fixed_kfs if m.kf_valid[k])
+    for j in pts:
+        for okf in m.mp_obs[int(j)]:
+            if okf not in wset:
+                frontier.add(okf)
+    kf_list = window + sorted(frontier)
+    kf_index = {k: i for i, k in enumerate(kf_list)}
+    fixed = np.zeros(len(kf_list), bool)
+    fixed[len(window):] = True
+    if len(frontier) == 0:
+        # gauge: fix ONLY the oldest KF (ref: LocalBundleAdjustment sets
+        # fixed solely for the map-origin KF, Optimizer.cc:1797
+        # vSE3->setFixed(pKF->mnId==pMap->GetInitKFid())). Fixing a
+        # second pose would pin an early two-KF baseline — i.e. the
+        # (possibly drifted) early map scale — into every later solve;
+        # with one fixed pose the mono scale gauge is handled by LM
+        # damping and BA can still reconcile early/late scale.
+        fixed[kf_index[min(window)]] = True
+    pt_index = {int(j): i for i, j in enumerate(pts)}
+    obs_kf, obs_pt, uvr, inv_s2, obs_ref, stereo = [], [], [], [], [], []
+    for j in pts:
+        for okf, slot in m.mp_obs[int(j)].items():
+            f = m.kf_feats[okf]
+            obs_kf.append(kf_index[okf])
+            obs_pt.append(pt_index[int(j)])
+            ur = f.u_right[slot] if f.u_right is not None else -1.0
+            uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1],
+                        ur if ur >= 0 else 0.0])
+            stereo.append(ur >= 0)
+            inv_s2.append(inv_sigma2[f.octave[slot]])
+            obs_ref.append((int(j), okf))
+    obs_kf = np.array(obs_kf, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    uvr = np.array(uvr)
+    inv_s2 = np.array(inv_s2)
+    stereo = np.array(stereo, bool)
+    chi2_th = np.where(stereo, 7.815, 5.991)
+    # phase 1 (5 it robust), prune, phase 2 (ref :2048,:2121)
+    Rf, tf, Xf, chi2, posz = B.ba_solve_np(
+        m.kf_R[kf_list], m.kf_t[kf_list], m.mp_pos[pts],
+        obs_kf, obs_pt, uvr, inv_s2, stereo, np.ones(len(obs_kf), bool),
+        fixed, cam.fx, cam.fy, cam.cx, cam.cy, bf, n_iters=5,
+        cam=camspec,
+    )
+    good = (chi2 <= chi2_th) & posz
+    if abort_check is None or not abort_check():
         Rf, tf, Xf, chi2, posz = B.ba_solve_np(
             Rf, tf, Xf, obs_kf, obs_pt, uvr, inv_s2, stereo, good,
-            fixed, cam.fx, cam.fy, cam.cx, cam.cy, self.bf, cam=self.camspec,
-            n_iters=self.cfg.mapping.local_ba_iters,
+            fixed, cam.fx, cam.fy, cam.cx, cam.cy, bf, cam=camspec,
+            n_iters=n_iters,
         )
-        # write back
-        for i in np.nonzero(~fixed)[0]:
-            m.kf_R[kf_list[i]] = Rf[i]
-            m.kf_t[kf_list[i]] = tf[i]
-        m.mp_pos[pts] = Xf
-        # erase observations that remain outliers (ref :2259-2290)
-        bad = (chi2 > chi2_th) | ~posz
-        for o in np.nonzero(bad)[0]:
-            j, okf = obs_ref[o]
-            if m.mp_valid[j]:
-                m.erase_observation(j, okf)
-        for j in pts:
-            if m.mp_valid[int(j)]:
-                m.update_point_stats(int(j))
+    # write back
+    for i in np.nonzero(~fixed)[0]:
+        m.kf_R[kf_list[i]] = Rf[i]
+        m.kf_t[kf_list[i]] = tf[i]
+    m.mp_pos[pts] = Xf
+    # erase observations that remain outliers (ref :2259-2290)
+    bad = (chi2 > chi2_th) | ~posz
+    for o in np.nonzero(bad)[0]:
+        j, okf = obs_ref[o]
+        if m.mp_valid[j]:
+            m.erase_observation(j, okf)
+    for j in pts:
+        if m.mp_valid[int(j)]:
+            m.update_point_stats(int(j))

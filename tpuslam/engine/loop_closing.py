@@ -50,6 +50,14 @@ class LoopCloser:
         self.sf = slam_map.scale_factors
         self.inv_sigma2 = 1.0 / self.sf ** 2
         self._rng_key = jax.random.PRNGKey(7)
+        # background GBA state (the reference's transient 4th thread,
+        # LoopClosing.cc:1237-1244 + RunGlobalBundleAdjustment :2430).
+        # Each run carries its OWN abort event: a newer loop aborts the
+        # old run WITHOUT joining it under the map lock (the old thread
+        # may be blocked on that very lock in _apply_gba — it re-checks
+        # its token inside the lock and discards instead).
+        self._gba_thread = None
+        self._gba_abort_evt = None
 
     # ------------------------------------------------------------------ main
     def on_new_keyframe(self, kf: int) -> bool:
@@ -74,8 +82,10 @@ class LoopCloser:
             else:
                 self.pending["not_found"] += 1
                 if self.pending["not_found"] >= lcfg.max_not_found:
+                    # chain broken: fall through to fresh detection below so
+                    # this KF's detection opportunity isn't lost
                     self.pending = None
-        else:
+        if self.pending is None:
             # 2) fresh detection via the BoW database
             # (ref :276-295: same-map loops need >= 12 KFs of maturity;
             # merges with other Atlas maps are allowed earlier)
@@ -250,6 +260,22 @@ class LoopCloser:
         s = float(s)
         R = np.asarray(R)
         t = np.asarray(t)
+        if merge and m.imu_initialized:
+            # inertial merge gates (ref LoopClosing.cc:95-114): gravity
+            # pins pitch/roll and (once VIBA1 ran) the scale is metric —
+            # reject a Sim3 whose scale strays outside [0.9, 1.1], and
+            # project the rotation onto yaw-only so the merge cannot tilt
+            # the gravity direction (MergeLocal2's 4DoF alignment).
+            if m.inertial_ba1 and not (0.9 < s < 1.1):
+                return None
+            yaw = np.arctan2(R[1, 0] - R[0, 1], R[0, 0] + R[1, 1])
+            cy_, sy_ = np.cos(yaw), np.sin(yaw)
+            R_yaw = np.array([[cy_, -sy_, 0.0], [sy_, cy_, 0.0],
+                              [0.0, 0.0, 1.0]])
+            ang = np.arccos(np.clip((np.trace(R_yaw.T @ R) - 1) / 2, -1, 1))
+            if ang > 0.35:  # Sim3 disagrees badly with gravity: not a merge
+                return None
+            R = R_yaw
         # guided projection: loop-side local map points into current KF
         n_proj, proj_pairs = self._search_by_projection(kf, cand, s, R, t)
         if n_proj < lcfg.min_proj_matches:
@@ -353,16 +379,27 @@ class LoopCloser:
             if cur_mp != loop_mp and cur_mp >= 0 and loop_mp >= 0 \
                and m.mp_valid[cur_mp] and m.mp_valid[loop_mp]:
                 m.replace_point(cur_mp, loop_mp)
-        # fuse loop-side points into the (corrected) window KFs
+        # fuse loop-side points into the (corrected) WELD window — for a
+        # merge this is the window around the current KF, not the whole
+        # transported map (ref MergeLocal's spLocalWindowKFs,
+        # LoopClosing.cc:1299-1330; SearchAndFuse :1676)
+        weld_cur = [kf] + m.best_covisible(kf, 10)
+        weld_loop = [cand] + m.best_covisible(cand, 10)
         if self.local_mapper is not None:
-            loop_window = [cand] + m.best_covisible(cand, 10)
-            loop_pts = np.unique(m.kf_mp[loop_window])
+            loop_pts = np.unique(m.kf_mp[weld_loop])
             loop_pts = loop_pts[loop_pts >= 0]
-            for k in window:
+            for k in weld_cur:
                 self.local_mapper._fuse_into(k, loop_pts)
-        for k in window:
+        for k in (weld_cur if merge else window):
             m.update_connections(k)
+        old_side = []
         if merge:
+            # the merge map's frame is PRESERVED: its KFs are the fixed
+            # side of the essential graph and the weld BA (ref MergeLocal
+            # vpFixedKFs, LoopClosing.cc:1760-1830). Capture before the
+            # relabel collapses the map ids.
+            old_side = [int(x) for x in
+                        m.valid_kf_ids(map_id=int(m.kf_map_id[cand]))]
             # the young map joins the matched map (ref MergeLocal moves
             # KFs/MPs into the merge map and updates Atlas)
             m.relabel_map(int(m.kf_map_id[kf]), int(m.kf_map_id[cand]))
@@ -377,6 +414,7 @@ class LoopCloser:
             min_covis_weight=self.cfg.loop.essential_min_weight,
             old_poses=old_pose,
             four_dof=m.imu_initialized,
+            fix_kfs=old_side,
         )
         # correct remaining map points through their anchor KF's motion
         done2 = set(done)
@@ -395,12 +433,26 @@ class LoopCloser:
             m.mp_pos[j] = (1.0 / s_n) * (R_n.T @ (Xc_old - t_n))
         for j in m.valid_mp_ids():
             m.update_point_stats(int(j))
-        # global BA after correction (ref: LoopClosing.cc:1237 spawns the
-        # GBA thread when the map is small enough; synchronous here)
+        if merge:
+            # weld-area local BA LAST: both sides of the seam move, the
+            # frontier (outside observers) is fixed (ref MergeLocal ->
+            # weld-window Optimizer::LocalBundleAdjustment,
+            # LoopClosing.cc:1676-1722 / Optimizer.cc:6255) — the seam is
+            # cleaned up even when GBA doesn't run. After the essential
+            # graph so the graph's Sim3 seeds don't overwrite BA poses.
+            from .local_mapping import window_ba
+            window_ba(m, self.camera, self.camera.spec, self.inv_sigma2,
+                      getattr(self.local_mapper, "bf", 0.0)
+                      if self.local_mapper else 0.0,
+                      weld_cur, n_iters=15, fixed_kfs=old_side)
+        # global BA after correction, on a background thread with staged
+        # corrections (ref: LoopClosing.cc:1237-1244 spawns the GBA thread;
+        # RunGlobalBundleAdjustment :2430 propagates to KFs/MPs created
+        # during the solve). No size gate: past the pair-scatter scale the
+        # solver switches itself to the matrix-free Schur CG (solve/ba.py).
         lcfg = self.cfg.loop
-        kfs = m.valid_kf_ids()
-        if lcfg.run_gba and len(kfs) < lcfg.gba_max_kfs:
-            self._global_ba(kfs, fix_kf=cand)
+        if lcfg.run_gba:
+            self._launch_gba(fix_kf=cand)
         # spanning-tree invariant (ref: assert(mpCurrentKF->GetMap()->
         # CheckEssentialGraph()) LoopClosing.cc:1048-1050) — log, don't
         # crash, in production
@@ -412,46 +464,171 @@ class LoopCloser:
         m.map_version += 1
         self.n_loops_closed += 1
 
-    def _global_ba(self, kfs, fix_kf: int, n_iters: int = 10):
-        """ref: RunGlobalBundleAdjustment (LoopClosing.cc:2430) ->
-        GlobalBundleAdjustemnt(10 it)."""
-        from ..solve import ba as B
-
+    # ------------------------------------------------------- background GBA
+    def _snapshot_gba(self, fix_kf: int):
+        """Build the GBA problem from the map under the lock — vectorized
+        per-KF assembly (one numpy pass per keyframe row instead of a
+        Python dict walk over every observation)."""
         m = self.map
-        cam = self.camera
-        kf_index = {int(k): i for i, k in enumerate(kfs)}
-        pts = np.unique(m.kf_mp[list(kfs)])
+        kfs = np.asarray(m.valid_kf_ids(), np.int64)
+        pts = np.unique(m.kf_mp[kfs])
         pts = pts[pts >= 0]
         pts = pts[m.mp_valid[pts]]
-        if len(pts) < 20:
-            return
-        pt_index = {int(j): i for i, j in enumerate(pts)}
+        if len(pts) < 20 or len(kfs) < 3:
+            return None
+        pt_row = np.full(int(pts.max()) + 1, -1, np.int32)
+        pt_row[pts] = np.arange(len(pts), dtype=np.int32)
         obs_kf, obs_pt, uvr, inv_s2, stereo = [], [], [], [], []
-        for j in pts:
-            for okf, slot in m.mp_obs[int(j)].items():
-                if okf not in kf_index:
-                    continue
-                f = m.kf_feats[okf]
-                obs_kf.append(kf_index[okf])
-                obs_pt.append(pt_index[int(j)])
-                ur = f.u_right[slot] if f.u_right is not None else -1.0
-                uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1],
-                            ur if ur >= 0 else 0.0])
-                stereo.append(ur >= 0)
-                inv_s2.append(self.inv_sigma2[f.octave[slot]])
+        for i, k in enumerate(kfs):
+            row = m.kf_mp[k]
+            slots = np.nonzero(row >= 0)[0]
+            rows = pt_row[np.minimum(row[slots], len(pt_row) - 1)]
+            ok = (rows >= 0) & (row[slots] <= pts.max())
+            slots, rows = slots[ok], rows[ok]
+            if len(slots) == 0:
+                continue
+            f = m.kf_feats[k]
+            ur = (f.u_right[slots] if f.u_right is not None
+                  else np.full(len(slots), -1.0))
+            obs_kf.append(np.full(len(slots), i, np.int32))
+            obs_pt.append(rows)
+            uvr.append(np.concatenate(
+                [f.und_xy[slots], np.where(ur >= 0, ur, 0.0)[:, None]], 1))
+            stereo.append(ur >= 0)
+            inv_s2.append(self.inv_sigma2[f.octave[slots]])
+        if not obs_kf:
+            return None
+        import threading
         fixed = np.zeros(len(kfs), bool)
-        fixed[kf_index[fix_kf]] = True
-        bf = getattr(self.local_mapper, "bf", 0.0) if self.local_mapper else 0.0
-        Rf, tf, Xf, chi2, posz = B.ba_solve_np(
-            m.kf_R[list(kfs)], m.kf_t[list(kfs)], m.mp_pos[pts],
-            np.array(obs_kf, np.int32), np.array(obs_pt, np.int32),
-            np.array(uvr), np.array(inv_s2), np.array(stereo, bool),
-            np.ones(len(obs_kf), bool), fixed,
-            cam.fx, cam.fy, cam.cx, cam.cy, bf, n_iters=n_iters,
-            cam=cam.spec,
+        kf_index = {int(k): i for i, k in enumerate(kfs)}
+        fixed[kf_index.get(int(fix_kf), 0)] = True
+        bf = getattr(self.local_mapper, "bf", 0.0) if self.local_mapper \
+            else 0.0
+        return dict(
+            abort=threading.Event(),
+            kfs=kfs, pts=pts,
+            R=m.kf_R[kfs].copy(), t=m.kf_t[kfs].copy(),
+            X=m.mp_pos[pts].copy(),
+            obs_kf=np.concatenate(obs_kf), obs_pt=np.concatenate(obs_pt),
+            uvr=np.concatenate(uvr), inv_s2=np.concatenate(inv_s2),
+            stereo=np.concatenate(stereo), fixed=fixed, bf=bf,
         )
-        for k, i in kf_index.items():
-            if not fixed[i]:
-                m.kf_R[k] = Rf[i]
-                m.kf_t[k] = tf[i]
-        m.mp_pos[pts] = Xf
+
+    def _solve_gba(self, snap, n_iters: int = 10, chunks: int = 3):
+        """Run the solve on the snapshot WITHOUT the map lock, in chunks so
+        an abort request (new loop/merge, shutdown) is honored between
+        chunks (ref: mbStopGBA checks inside the g2o loop,
+        LoopClosing.cc:2445-2450)."""
+        from ..solve import ba as B
+
+        cam = self.camera
+        R, t, X = snap["R"], snap["t"], snap["X"]
+        per = max(1, n_iters // chunks)
+        done = 0
+        while done < n_iters:
+            if snap["abort"].is_set():
+                return None
+            R, t, X, chi2, posz = B.ba_solve_np(
+                R, t, X, snap["obs_kf"], snap["obs_pt"], snap["uvr"],
+                snap["inv_s2"], snap["stereo"],
+                np.ones(len(snap["obs_kf"]), bool), snap["fixed"],
+                cam.fx, cam.fy, cam.cx, cam.cy, snap["bf"],
+                n_iters=min(per, n_iters - done), cam=cam.spec,
+            )
+            done += per
+        if snap["abort"].is_set():
+            return None
+        return R, t, X
+
+    def _apply_gba(self, snap, solved):
+        """Stage the GBA result back into the (possibly advanced) map:
+        snapshot KFs/MPs take their solved values; KFs created DURING the
+        solve are corrected through the spanning tree (the reference's
+        mTcwGBA/mTcwBefGBA staging + propagation,
+        RunGlobalBundleAdjustment LoopClosing.cc:2476-2530); new MPs ride
+        their anchor KF's correction."""
+        m = self.map
+        Rg, tg, Xg = solved
+        kfs, pts = snap["kfs"], snap["pts"]
+        with m.lock:
+            if snap["abort"].is_set():
+                return  # aborted while waiting for the lock: discard
+            in_snap = set(int(k) for k in kfs)
+            # pose of every valid KF before the apply (for new-KF/MP rides)
+            before = {int(k): (m.kf_R[k].copy(), m.kf_t[k].copy())
+                      for k in m.valid_kf_ids()}
+            for i, k in enumerate(kfs):
+                if m.kf_valid[k] and not snap["fixed"][i]:
+                    m.kf_R[k] = Rg[i]
+                    m.kf_t[k] = tg[i]
+            # KFs created during GBA: walk to the first snapshot ancestor a;
+            # P_child_new = P_child_old P_a_old^-1 P_a_new
+            for k in m.valid_kf_ids():
+                k = int(k)
+                if k in in_snap:
+                    continue
+                a = k
+                hops = 0
+                while a >= 0 and a not in in_snap and hops < m.n_kf:
+                    a = int(m.kf_parent[a])
+                    hops += 1
+                if a < 0 or a not in in_snap or not m.kf_valid[a]:
+                    continue
+                Ra_o, ta_o = before[a]
+                Ra_n, ta_n = m.kf_R[a], m.kf_t[a]
+                Rrel = before[k][0] @ Ra_o.T
+                trel = before[k][1] - Rrel @ ta_o
+                m.kf_R[k] = Rrel @ Ra_n
+                m.kf_t[k] = Rrel @ ta_n + trel
+            m.mp_pos[pts[m.mp_valid[pts]]] = Xg[m.mp_valid[pts]]
+            in_pts = np.zeros(m.n_mp, bool)
+            in_pts[pts] = True
+            for j in m.valid_mp_ids():
+                j = int(j)
+                if in_pts[j] or not m.mp_obs[j]:
+                    continue
+                anchor = int(m.mp_first_kf[j])
+                if anchor not in m.mp_obs[j]:
+                    anchor = next(iter(m.mp_obs[j]))
+                if anchor not in before or not m.kf_valid[anchor]:
+                    continue
+                Ro, to = before[anchor]
+                Xc = Ro @ m.mp_pos[j] + to
+                m.mp_pos[j] = m.kf_R[anchor].T @ (Xc - m.kf_t[anchor])
+            m.map_version += 1
+
+    def _launch_gba(self, fix_kf: int, n_iters: int = 10):
+        """Spawn (or replace) the background GBA thread. A newer loop/merge
+        aborts a running GBA first (ref: CorrectLoop stops running GBA,
+        LoopClosing.cc:1028-1044) — by signaling its token, never by
+        joining under the map lock."""
+        import threading
+
+        if self._gba_abort_evt is not None:
+            self._gba_abort_evt.set()
+        snap = self._snapshot_gba(fix_kf)
+        if snap is None:
+            return
+        self._gba_abort_evt = snap["abort"]
+
+        def run():
+            solved = self._solve_gba(snap, n_iters=n_iters)
+            if solved is not None:
+                self._apply_gba(snap, solved)
+
+        if self.cfg.loop.background_gba:
+            self._gba_thread = threading.Thread(target=run, daemon=True)
+            self._gba_thread.start()
+        else:
+            run()
+
+    def wait_gba(self):
+        """Join a running background GBA (tests / shutdown). Must not be
+        called while holding the map lock."""
+        if self._gba_thread is not None:
+            self._gba_thread.join()
+
+    def abort_gba(self):
+        if self._gba_abort_evt is not None:
+            self._gba_abort_evt.set()
+        self.wait_gba()

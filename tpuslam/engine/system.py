@@ -166,9 +166,12 @@ class System:
         self.tracker.velocity = None
 
     def shutdown(self):
-        """ref: System::Shutdown (System.cc:487) — join worker threads."""
+        """ref: System::Shutdown (System.cc:487) — join worker threads
+        (async mapper + any background GBA)."""
         if self.async_mapper is not None:
             self.async_mapper.shutdown()
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
 
     # ------------------------------------------------------------ trajectory
     def _ref_pose(self, ref_kf: int):

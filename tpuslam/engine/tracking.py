@@ -117,6 +117,12 @@ class Tracker:
         # set by System.change_dataset (ref System.h:178): next frame starts
         # a fresh Atlas map / resets a young one
         self._force_new_map = False
+        # fused on-device tracking (track_device.py): one dispatch + one
+        # fetch per frame. Applies to pinhole mono/stereo visual tracking in
+        # the OK state; everything else (init, reloc, VI, fisheye, RGB-D)
+        # uses the host path below.
+        self.fused_enabled = True
+        self._fused = None
 
     # ------------------------------------------------------------------ util
     def _project(self, R, t, X):
@@ -280,39 +286,74 @@ class Tracker:
 
         if self.use_imu and imu is not None and len(imu):
             self.imu_since_kf.extend(np.asarray(imu, np.float64).tolist())
-        with T.stage("extract"):
-            if img_right is not None and self.camera2 is not None:
-                feats = self.frontend.process_stereo_fisheye(
-                    img, img_right, self.camera2, self.R_rl, self.t_rl)
-            elif img_right is not None:
-                feats = self.frontend.process_stereo(img, img_right)
-            elif depth is not None:
-                feats = self.frontend.process_rgbd(
-                    img, depth, self.cfg.depth_map_factor)
-            else:
-                feats = self.frontend.process(img)
-        frame = Frame(feats, time, self.frame_id)
+        # fused on-device path: extraction happens INSIDE the fused step,
+        # so try it before the host extraction
+        fused_ok = (
+            self.fused_enabled
+            and self.state == State.OK
+            and not self._force_new_map
+            and not self.use_imu
+            and self.camera2 is None
+            and depth is None
+            and self.camspec.kind == "pinhole"
+            and self.last_frame is not None
+            and self.last_frame.mp is not None
+        )
+        frame = Frame(None, time, self.frame_id)
         self.frame_id += 1
-        # extraction ran lock-free; the state machine holds the map lock
-        # (ref: Track() under Map::mMutexMapUpdate, Tracking.cc:921)
-        with self.map.lock:
-            if self._force_new_map and self.state not in (
-                    State.NO_IMAGES_YET, State.NOT_INITIALIZED):
-                # dataset boundary (ref: ChangeDataset -> timestamp-jump
-                # handling Tracking.cc:854-891): always open a fresh Atlas
-                # map — the old session stays and can be merged back later
-                self._force_new_map = False
-                self.map.create_new_map()
-                self._reset_tracker_state()
-            if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
-                with T.stage("initialize"):
-                    if self.sensor == "mono":
-                        self._initialize_mono(frame)
+        ran = False
+        if fused_ok:
+            with self.map.lock:
+                with T.stage("track_fused"):
+                    res = self._track_fused(frame, img, img_right)
+                if res is not None:
+                    ran = True
+                    if res:
+                        self._post_track_ok(frame)
                     else:
-                        self._initialize_stereo(frame)
-            else:
-                with T.stage("track"):
-                    self._track_frame(frame)
+                        # fused ran but failed: reuse its extraction for
+                        # the host fallback (motion model, wide windows,
+                        # RECENTLY_LOST handling)
+                        frame.R = frame.t = None
+                        frame.mp = None
+                        with T.stage("track"):
+                            self._track_frame(frame)
+        if not ran:
+            if frame.feats is None:
+                with T.stage("extract"):
+                    if img_right is not None and self.camera2 is not None:
+                        frame.feats = self.frontend.process_stereo_fisheye(
+                            img, img_right, self.camera2, self.R_rl,
+                            self.t_rl)
+                    elif img_right is not None:
+                        frame.feats = self.frontend.process_stereo(
+                            img, img_right)
+                    elif depth is not None:
+                        frame.feats = self.frontend.process_rgbd(
+                            img, depth, self.cfg.depth_map_factor)
+                    else:
+                        frame.feats = self.frontend.process(img)
+            # extraction ran lock-free; the state machine holds the map lock
+            # (ref: Track() under Map::mMutexMapUpdate, Tracking.cc:921)
+            with self.map.lock:
+                if self._force_new_map and self.state not in (
+                        State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+                    # dataset boundary (ref: ChangeDataset -> timestamp-jump
+                    # handling Tracking.cc:854-891): always open a fresh
+                    # Atlas map — the old session stays and can be merged
+                    # back later
+                    self._force_new_map = False
+                    self.map.create_new_map()
+                    self._reset_tracker_state()
+                if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+                    with T.stage("initialize"):
+                        if self.sensor == "mono":
+                            self._initialize_mono(frame)
+                        else:
+                            self._initialize_stereo(frame)
+                else:
+                    with T.stage("track"):
+                        self._track_frame(frame)
         # trajectory log: store pose RELATIVE to the reference KF so later
         # map updates (BA, gravity-align/rescale, loop correction) apply to
         # logged frames too (ref: Tracking.cc:1327-1347 mlRelativeFramePoses)
@@ -534,6 +575,53 @@ class Tracker:
             n += 1
         return n
 
+    # ------------------------------------------------------------ fused path
+    def _track_fused(self, frame: Frame, img, img_right):
+        """One-dispatch tracking via track_device.FusedTracker.
+
+        Returns True (tracked), False (ran but too few inliers — caller
+        falls back to the host path with the already-extracted features),
+        or None (no usable local map — caller runs the full host path)."""
+        from .track_device import FusedTracker
+
+        if self._fused is None:
+            self._fused = FusedTracker(self)
+        ft = self._fused
+        last = self.last_frame
+        if not ft.build_local_map(last.mp):
+            return None
+        min_req = self.cfg.tracking.min_inliers_local \
+            if self.frames_since_kf > 0 else 15
+        n_inl = ft.track(img, img_right, frame, last.R, last.t, min_req)
+        self.n_inliers = n_inl
+        return n_inl >= min_req
+
+    def _post_track_ok(self, frame: Frame, pred=None):
+        """Shared post-tracking bookkeeping: velocity state, motion model,
+        KF decision (ref: Track() after TrackLocalMap, Tracking.cc:1239+)."""
+        cfg = self.cfg.tracking
+        self.state = State.OK
+        if frame.bg is not None:
+            pass  # VI solve already estimated velocity
+        elif pred is not None:
+            dt = frame.time - self.last_frame.time
+            p_pred = -pred[0].T @ pred[1]
+            corr = (frame.center() - p_pred) / dt if dt > 0 else 0.0
+            frame.v = pred[2] + corr
+        elif self.last_frame.R is not None:
+            dt = frame.time - self.last_frame.time
+            if dt > 0:
+                frame.v = (frame.center() - self.last_frame.center()) / dt
+        # motion model velocity: Tcl = Tcw_cur * Twc_last
+        Rl = self.last_frame.R.T
+        tl = -Rl @ self.last_frame.t
+        Rv = frame.R @ Rl
+        tv = frame.R @ tl + frame.t
+        self.velocity = (Rv, tv)
+        self.frames_since_kf += 1
+        if not self.only_tracking and self._need_new_keyframe(frame):
+            self._create_keyframe(frame)
+
     # -------------------------------------------------------------- tracking
     def _track_frame(self, frame: Frame):
         cfg = self.cfg.tracking
@@ -578,31 +666,7 @@ class Tracker:
         if ok:
             ok = self._track_local_map(frame)
         if ok:
-            self.state = State.OK
-            # velocity state for the next frame (the VI frame optimization
-            # already estimated it; frame.bg marks that path)
-            if frame.bg is not None:
-                pass
-            elif pred is not None:
-                dt = frame.time - self.last_frame.time
-                p_pred = -pred[0].T @ pred[1]
-                corr = (frame.center() - p_pred) / dt if dt > 0 else 0.0
-                frame.v = pred[2] + corr
-            elif self.last_frame.R is not None:
-                dt = frame.time - self.last_frame.time
-                if dt > 0:
-                    frame.v = (frame.center() - self.last_frame.center()) / dt
-            # motion model velocity: Tcl = Tcw_cur * Twc_last
-            Rl, tl = lie.se3_inverse(
-                jnp.asarray(self.last_frame.R), jnp.asarray(self.last_frame.t)
-            )
-            Rv, tv = lie.se3_compose(
-                jnp.asarray(frame.R), jnp.asarray(frame.t), Rl, tl
-            )
-            self.velocity = (np.asarray(Rv), np.asarray(tv))
-            self.frames_since_kf += 1
-            if not self.only_tracking and self._need_new_keyframe(frame):
-                self._create_keyframe(frame)
+            self._post_track_ok(frame, pred=pred)
         else:
             if self.state == State.OK:
                 self.state = State.RECENTLY_LOST
@@ -989,6 +1053,11 @@ class Tracker:
 
     def _create_keyframe(self, frame: Frame):
         m = self.map
+        from .track_device import DeviceFeatures
+        if isinstance(frame.feats, DeviceFeatures):
+            # KF features live in the host map store (matching, BoW,
+            # triangulation all read them) — materialize once here
+            frame.feats = frame.feats.materialize()
         kf = m.add_keyframe(
             frame.R, frame.t, frame.feats, frame.time, frame.frame_id,
             mp_assign=frame.mp,

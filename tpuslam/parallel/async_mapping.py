@@ -35,6 +35,9 @@ class AsyncMapper:
         self.queue: queue.Queue = queue.Queue()
         self.errors: list = []
         self._stop = threading.Event()
+        # a queued KF interrupts the running local BA's second phase
+        # (ref: mbAbortBA LocalMapping.cc:103,283)
+        local_mapper.abort_check = lambda: not self.queue.empty()
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.worker.start()
 
@@ -55,7 +58,14 @@ class AsyncMapper:
                     self.lm.on_new_keyframe(kf)
                     if self.loop_closer is not None:
                         self.loop_closer.on_new_keyframe(kf)
-            except Exception as exc:  # surfaced via flush()
+            except Exception as exc:
+                # surface IMMEDIATELY (a silently dead mapper looks like
+                # "map stopped growing" to the tracker) and keep for
+                # flush(raise_errors=True)
+                import traceback
+                from ..utils.verbose import print_mess
+                print_mess("[async_mapping] worker error: "
+                           + "".join(traceback.format_exception(exc)))
                 self.errors.append(exc)
             finally:
                 self.queue.task_done()

@@ -215,7 +215,9 @@ def dist_ba_solve(mesh, R, t, X, obs_kf, obs_pt, uvr, inv_sigma2, stereo,
         n_tot += 1
         if c1f < c0f:  # in-step acceptance on the CURRENT trial
             Rj, tj, Xj = R2, t2, X2
-            lam = max(lam * 0.5, 1e-9)
+            # same flat-direction floor as ba.py's LM loop (lambda is the
+            # only thing pinning low-parallax landmark depths)
+            lam = max(lam * 0.5, 1e-3)
             cost = c1f
             n_acc += 1
             if (c0f - c1f) < 1e-8 * max(c0f, 1e-20):

@@ -282,15 +282,15 @@ def ba_solve(
         X = jnp.where(accept, X2, X)
         cost = cost + jnp.where(accept, delta, 0.0)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        # FLOOR at 1e-5 (not 1e-9): with multiplicative damping, lambda is
+        # FLOOR at 1e-3 (not 1e-9): with multiplicative damping, lambda is
         # the only thing pinning the problem's FLAT directions (depth of
         # low-parallax landmarks) to their initialization. Once lambda
         # decays to ~0, noise-level gradients push meter-scale steps along
         # those directions that are cost-neutral and get accepted —
         # measured: a 1 mm point perturbation moved the BA solution's
         # points by 0.94 m RMS. The floor bounds flat-direction movement
-        # while observable directions (curvature >> 1e-5*diag) still
-        # converge to machine precision.
+        # while observable directions (curvature >> 1e-3*diag) still
+        # converge to machine precision. dist_ba.py applies the same floor.
         lam = jnp.clip(lam, 1e-3, 1e6)
         # a rejected trial reports delta=+inf: never mistaken for a stall
         delta = jnp.where(accept, delta, jnp.asarray(jnp.inf, dtype))

@@ -240,7 +240,7 @@ def pose_graph_solve_4dof(R, t, edges_i, edges_j, R_m, t_m, edge_w,
 def optimize_essential_graph(m, loop_edges, corrected, fix_kf,
                              fix_scale: bool = False, min_covis_weight=100,
                              n_iters: int = 20, old_poses=None,
-                             four_dof: bool = False):
+                             four_dof: bool = False, fix_kfs=None):
     """Host-side graph assembly + device solve over the map `m`
     (ref: OptimizeEssentialGraph Optimizer.cc:2347 edge selection:
     loop edges + spanning tree + covis weight >= 100).
@@ -312,6 +312,12 @@ def optimize_essential_graph(m, loop_edges, corrected, fix_kf,
     fixed = np.zeros(K, bool)
     if fix_kf in idx:
         fixed[idx[fix_kf]] = True
+    # fix_kfs: pin a whole side of the graph — an Atlas merge preserves the
+    # MERGE map's frame and corrects only the young map into it (ref:
+    # MergeLocal's vpFixedKFs/vpFixedCorrectedKFs, LoopClosing.cc:1760-1830)
+    for k in (fix_kfs or ()):
+        if int(k) in idx:
+            fixed[idx[int(k)]] = True
     if four_dof:
         # inertial maps: gravity pins pitch/roll, scale is metric — the
         # graph relaxes only yaw + translation (ref LoopClosing.cc:1218-1224
