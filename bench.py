@@ -11,7 +11,10 @@ reference's 20 fps real-time envelope (BASELINE.md: Camera.fps 20,
 This is the System number, not the kernel-chain number (that one lives in
 bench_frontend.py and PROFILE.md). The tracking hot path is the fused
 on-device step (engine/track_device.py): one dispatch + one value fetch
-per frame, local map device-resident.
+per frame, local map device-resident, run in the PIPELINED mode (frame
+t's step executes on-device while frame t-1's results stream back — one
+frame of latency, the standard camera-pipeline discipline; synchronous
+per-frame mode is the default elsewhere).
 
 Measurement rules (round-2 post-mortem, see bench_frontend.py):
 value fetches are the only real barrier on the axon backend (the fused
@@ -47,7 +50,8 @@ def build():
     cam = Pinhole([seq.fx, seq.fy, seq.cx, seq.cy], seq.width, seq.height)
     cfg = SlamConfig(
         orb=OrbConfig(n_features=1024),
-        tracking=TrackingConfig(min_stereo_init_features=200),
+        tracking=TrackingConfig(min_stereo_init_features=200,
+                                pipelined=True),
     )
     times = seq.timestamps()
     frames = [
@@ -69,6 +73,7 @@ def run_system(cam, cfg, frames, times, bf):
         t0 = time.perf_counter()
         slam.track_stereo(l, r, times[i])
         per.append(time.perf_counter() - t0)
+    slam.tracker._flush_pipeline()  # settle the last in-flight frame
     return per, slam
 
 

@@ -57,6 +57,14 @@ class CameraModel:
         """[...,3] camera-frame points -> [...,2] pixels."""
         raise NotImplementedError
 
+    def project_np(self, Xc):
+        """Host (numpy, f64) projection for the mapping/tracking host
+        paths: a small projection is ~µs on host but a full dispatch +
+        fetch round trip (~2x tunnel RTT) on an attached accelerator —
+        the host orchestration must not pay that per call site."""
+        import jax.numpy as jnp  # default: route through the device impl
+        return np.asarray(self.project(jnp.asarray(Xc)))
+
     def unproject(self, uv):
         """[...,2] pixels -> [...,3] unit-depth rays (z=1 normalized)."""
         raise NotImplementedError

@@ -109,6 +109,22 @@ class KannalaBrandt8(CameraModel):
     def project(self, Xc):
         return kb8_project(self.full_params, Xc)
 
+    def project_np(self, Xc):
+        """Host (numpy) KB8 projection — the forward model is closed form
+        (theta polynomial), so the host orchestration paths avoid a device
+        round trip per call."""
+        fx, fy, cx, cy, k0, k1, k2, k3 = self.full_params
+        Xc = np.asarray(Xc)
+        x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+        r = np.sqrt(x * x + y * y)
+        theta = np.arctan2(r, z)
+        t2 = theta * theta
+        d = theta * (1.0 + t2 * (k0 + t2 * (k1 + t2 * (k2 + t2 * k3))))
+        inv_r = 1.0 / np.where(r < 1e-9, 1e-9, r)
+        sx = np.where(r < 1e-9, 0.0, d * x * inv_r)
+        sy = np.where(r < 1e-9, 0.0, d * y * inv_r)
+        return np.stack([fx * sx + cx, fy * sy + cy], axis=-1)
+
     def unproject(self, uv, iters: int = 10):
         return kb8_unproject(self.full_params, uv, iters)
 

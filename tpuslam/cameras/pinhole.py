@@ -35,6 +35,13 @@ class Pinhole(CameraModel):
         v = self.fy * Xc[..., 1] * inv_z + self.cy
         return jnp.stack([u, v], axis=-1)
 
+    def project_np(self, Xc):
+        Xc = np.asarray(Xc)
+        z = Xc[..., 2]
+        inv_z = 1.0 / np.where(np.abs(z) < 1e-9, 1e-9, z)
+        return np.stack([self.fx * Xc[..., 0] * inv_z + self.cx,
+                         self.fy * Xc[..., 1] * inv_z + self.cy], axis=-1)
+
     def unproject(self, uv):
         x = (uv[..., 0] - self.cx) / self.fx
         y = (uv[..., 1] - self.cy) / self.fy

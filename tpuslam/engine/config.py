@@ -33,6 +33,20 @@ class TrackingConfig:
     nn_ratio_ref_kf: float = 0.7
     nn_ratio_local: float = 0.8
     nn_ratio_triangulate: float = 0.6
+    # fused on-device step (track_device.py): number of local-map
+    # re-association passes (3 = the host fixed-point schedule; 2 trades
+    # a little drift margin for per-frame latency) and the stereo SAD
+    # sub-pixel mode ("pyramid" = full per-octave reference semantics,
+    # "level0" = single-level gathers, cheaper)
+    fused_passes: int = 3
+    fused_sad: str = "pyramid"
+    # pipelined fused tracking: frame t's step is dispatched BEFORE frame
+    # t-1's results are fetched, so the device executes frame t while the
+    # host finishes frame t-1's bookkeeping — sustained throughput at ONE
+    # frame of latency (a camera pipeline; the synchronous mode returns
+    # each frame's pose before accepting the next). The pose chain rides
+    # the device between steps.
+    pipelined: bool = False
 
 
 @dataclass
@@ -41,8 +55,10 @@ class MappingConfig:
     min_baseline_depth_ratio: float = 0.01  # LocalMapping.cc:440
     fuse_radius: float = 3.0
     culling_redundancy: float = 0.9      # KeyFrameCulling 90% rule
-    local_ba_iters: int = 15   # ACCEPTED steps (g2o semantics; ba_solve
-                                 # retries rejected trials and exits on stall)
+    local_ba_iters: int = 10   # ACCEPTED steps in phase 2 (the reference's
+                                 # 5+10 schedule, Optimizer.cc:2048,2121;
+                                 # g2o semantics — ba_solve retries rejected
+                                 # trials and exits on stall)
     recent_cull_found_ratio: float = 0.25
 
 
@@ -88,6 +104,11 @@ class LoopConfig:
     # False = synchronous (deterministic tests). There is NO size gate any
     # more — large maps switch to the matrix-free Schur CG automatically.
     background_gba: bool = True
+    # route GBA through the obs-sharded distributed solver
+    # (parallel/dist_ba.py) when more than one device is visible AND the
+    # problem has at least this many observations (below it the sharding
+    # overhead dominates; tests force 0 to exercise the path)
+    dist_gba_min_obs: int = 20_000
     # temporal consistency: a common region must be re-confirmed on this
     # many consecutive KFs before correction (ref: LoopClosing.cc:263-500
     # mnLoopNumCoincidences >= 3; DetectAndReffineSim3FromLastKF :502).

@@ -109,7 +109,7 @@ class Frontend:
             Xr = X @ np.asarray(R_rl).T + np.asarray(t_rl)
             # gates (ref TriangulateMatches): cheirality, parallax,
             # reprojection in both cameras
-            uv_l = np.asarray(self.camera.project(jnp.asarray(X)))
+            uv_l = self.camera.project_np(X)
             uv_r2 = np.asarray(camera_r.project(jnp.asarray(Xr)))
             e_l = np.sum((uv_l - f.und_xy[il]) ** 2, 1)
             e_r = np.sum((uv_r2 - xy_r[ir]) ** 2, 1)

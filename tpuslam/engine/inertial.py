@@ -168,7 +168,14 @@ def run_imu_init(m, calib: ImuCalib, mono: bool = True,
         mono_scale=mono,
     )
     s = float(out["scale"])
-    if not np.isfinite(s) or s < 1e-2 or s > 1e2:
+    if not np.isfinite(s) or s > 1e2:
+        return False
+    if s < 1e-1:
+        # degenerate metric scale (ref: LocalMapping.cc:1314 scale<1e-1
+        # abort; ScaleRefinement :1404 sets mbBadImu): the IMU stream is
+        # inconsistent with the visual map — flag for an active-map reset
+        # (LocalMapping.cc:138-145 -> ResetActiveMap)
+        m.bad_imu = True
         return False
     Rwg = np.asarray(out["Rwg"])
     vel = np.zeros((m.n_kf, 3))

@@ -16,10 +16,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import lie
 from ..map.store import SlamMap
 from ..ops import match as M
-from ..ops.twoview import triangulate_batch
 from ..solve import ba as B
 from .config import SlamConfig
 
@@ -63,30 +61,42 @@ class LocalMapper:
                    Level.NORMAL)
 
     # ------------------------------------------------------------------ main
-    def on_new_keyframe(self, kf: int):
+    def on_new_keyframe(self, kf: int, lock=None):
+        """One mapping step for a new KF.
+
+        lock: when the async worker passes the map lock, it is acquired
+        PER STAGE instead of across the whole step, so the tracker's
+        brief per-frame lock takes interleave between stages instead of
+        stalling for the full mapping step (the reference's mapping
+        thread likewise holds mMutexMapUpdate only for short mutation
+        sections, not across the g2o solves)."""
+        import contextlib
+
         from ..utils.timing import GLOBAL_TIMER as T
 
+        hold = (lambda: lock) if lock is not None else \
+            (lambda: contextlib.nullcontext())
         m = self.map
-        # ProcessNewKeyFrame: refresh stats of points seen by this KF
-        for j in np.unique(m.kf_mp[kf]):
-            if j >= 0:
-                m.update_point_stats(int(j))
-        m.update_connections(kf)
-        self._cull_recent_points(kf)
+        with hold():
+            # ProcessNewKeyFrame: refresh stats of points seen by this KF
+            m.update_point_stats_batch(np.unique(m.kf_mp[kf]))
+            m.update_connections(kf)
+            self._cull_recent_points(kf)
         if m.n_kf >= 2:
             with T.stage("triangulate"):
-                created = self._create_new_points(kf)
-            with T.stage("fuse"):
+                self._create_new_points(kf, hold=hold)
+            with T.stage("fuse"), hold():
                 self._fuse_neighbors(kf)
             with T.stage("local_ba"):
                 if m.imu_initialized:
-                    self._local_inertial_ba(kf)
+                    with hold():
+                        self._local_inertial_ba(kf)
                 else:
-                    self._local_ba(kf)
-            with T.stage("kf_culling"):
+                    self._local_ba(kf, hold=hold)
+            with T.stage("kf_culling"), hold():
                 self._cull_keyframes(kf)
         if self.imu_calib is not None:
-            with T.stage("imu_stage"):
+            with T.stage("imu_stage"), hold():
                 self._imu_stage(kf)
 
     # ---------------------------------------------------------------- inertial
@@ -243,107 +253,165 @@ class LocalMapper:
             m.kf_parent[c] = m.kf_parent[cand]
 
     # -------------------------------------------------------- triangulation
-    def _create_new_points(self, kf: int):
-        """ref: CreateNewMapPoints (LocalMapping.cc:383)."""
+    def _create_new_points(self, kf: int, hold=None):
+        """ref: CreateNewMapPoints (LocalMapping.cc:383).
+
+        TPU-shaped: ALL neighbors' candidate matches go through ONE masked
+        matcher dispatch (columns = concatenated neighbor features, masks
+        block-built on host), and the per-match two-view triangulation +
+        gates run in vectorized numpy — the serial per-neighbor loop cost
+        ~3 device round trips x 20 neighbors through a tunneled backend.
+        One-to-one resolution across the concatenated columns gives each
+        new feature its single best triangulation partner over the whole
+        neighborhood (the serial reference lets the first neighbor claim,
+        ORBmatcher::SearchForTriangulation per pair).
+
+        hold: optional lock-context factory (async worker) — the map lock
+        is held for the READ/mask-build and the INSERT sections only; the
+        device match and the host SVD/gates run lock-free on the snapshot
+        (the reference likewise searches/triangulates without
+        mMutexMapUpdate and mutates under per-object mutexes)."""
+        import contextlib
+
+        if hold is None:
+            hold = lambda: contextlib.nullcontext()
         m = self.map
         cfg = self.cfg.mapping
         cam = self.camera
-        neighbors = m.best_covisible(kf, cfg.n_triangulate_neighbors)
-        R1, t1 = m.kf_R[kf], m.kf_t[kf]
-        O1 = m.kf_center(kf)
-        f1 = m.kf_feats[kf]
-        free1 = (m.kf_mp[kf] < 0) & f1.valid
-        n_created = 0
-        for kn in neighbors:
-            R2, t2 = m.kf_R[kn], m.kf_t[kn]
+        with hold():
+            neighbors = m.best_covisible(kf, cfg.n_triangulate_neighbors)
+            R1, t1 = m.kf_R[kf].copy(), m.kf_t[kf].copy()
+            O1 = m.kf_center(kf)
+            f1 = m.kf_feats[kf]
+            free1 = (m.kf_mp[kf] < 0) & f1.valid
+        sel1 = np.nonzero(free1)[0]  # mask rows only for FREE features
+        if len(sel1) == 0:
+            with hold():
+                m.update_connections(kf)
+            return 0
+        Kinv = np.linalg.inv(cam.K().astype(np.float64))
+        x1h_und = np.concatenate(
+            [f1.und_xy[sel1], np.ones((len(sel1), 1))], 1).astype(np.float32)
+        x1h_nrm = np.concatenate(
+            [f1.norm_xy[sel1], np.ones((len(sel1), 1))], 1).astype(np.float32)
+        masks, bits_l, ang_l, used = [], [], [], []
+        pose_snap = {}
+        with hold():
+          for kn in neighbors:
+            R2, t2 = m.kf_R[kn].copy(), m.kf_t[kn].copy()
             O2 = m.kf_center(kn)
             baseline = np.linalg.norm(O2 - O1)
             med_depth = self._median_depth(kn)
             if med_depth <= 0 or baseline / med_depth < cfg.min_baseline_depth_ratio:
                 continue
+            pose_snap[kn] = (R2, t2)
             f2 = m.kf_feats[kn]
             free2 = (m.kf_mp[kn] < 0) & f2.valid
-            # fundamental matrix F12 from relative pose (normalized coords ->
-            # essential; in pixels via K): ref ComputeF12 (LocalMapping.cc)
+            # essential from relative pose (ref ComputeF12, LocalMapping.cc)
             R12 = R1 @ R2.T
             t12 = -R12 @ t2 + t1
-            E12 = np.asarray(lie.hat(jnp.asarray(t12))) @ R12
+            E12 = np.array([[0, -t12[2], t12[1]],
+                            [t12[2], 0, -t12[0]],
+                            [-t12[1], t12[0], 0]]) @ R12
             if self.camspec.kind == "kb8":
                 # fisheye: no common image plane for a pixel F-matrix —
                 # gate on the essential matrix in NORMALIZED ray coords
-                # (the camera-generic equivalent of the reference's KB8
-                # epipolarConstrain, KannalaBrandt8.cpp:202). Thresholds
-                # scale from pixels to normalized units by 1/fx.
-                x1h = np.concatenate([f1.norm_xy, np.ones((f1.n, 1))], 1)
-                lines = x1h @ E12
+                # (camera-generic equivalent of KB8 epipolarConstrain,
+                # KannalaBrandt8.cpp:202); thresholds scale by 1/fx.
                 emask = M.epipolar_mask_np(
-                    f2.norm_xy, lines, f2.octave,
+                    f2.norm_xy.astype(np.float32),
+                    x1h_nrm @ E12.astype(np.float32), f2.octave,
                     self.sf ** 2 / float(cam.fx) ** 2,
                 )
             else:
-                Kinv = np.linalg.inv(cam.K().astype(np.float64))
-                F12 = Kinv.T @ E12 @ Kinv
-                # epipolar lines for kf features in kn image: l2 = F12^T x1
-                x1h = np.concatenate([f1.und_xy, np.ones((f1.n, 1))], 1)
-                lines = x1h @ F12  # [N,3] lines in image 2
+                F12 = (Kinv.T @ E12 @ Kinv).astype(np.float32)
                 emask = M.epipolar_mask_np(
-                    f2.und_xy, lines, f2.octave, self.sf ** 2
+                    f2.und_xy.astype(np.float32), x1h_und @ F12, f2.octave,
+                    self.sf ** 2
                 )
-            mask = emask & free1[:, None] & free2[None, :]
-            # NO ratio test here: the reference's SearchForTriangulation
-            # gates on dist<TH_LOW + epipolar only (ORBmatcher.cc:1061-1085)
-            midx, _ = M.match_padded(
-                f1.bits, f2.bits, mask,
-                max_dist=M.TH_LOW,
-                ang_a=f1.angle, ang_b=f2.angle,
-            )
-            i1 = np.nonzero(midx >= 0)[0]
-            if len(i1) == 0:
-                continue
-            i2 = midx[i1]
-            X = np.asarray(
-                triangulate_batch(
-                    jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2),
-                    jnp.asarray(t2), jnp.asarray(f1.norm_xy[i1]),
-                    jnp.asarray(f2.norm_xy[i2]),
-                )
-            )
-            # gates (ref LocalMapping.cc:470-720): parallax, cheirality,
-            # reprojection chi2, scale consistency
-            r1 = X - O1[None]
-            r2 = X - O2[None]
-            d1 = np.linalg.norm(r1, axis=1)
-            d2 = np.linalg.norm(r2, axis=1)
-            cosp = np.sum(r1 * r2, 1) / np.maximum(d1 * d2, 1e-12)
-            Xc1 = X @ R1.T + t1
-            Xc2 = X @ R2.T + t2
-            uv1 = np.asarray(cam.project(jnp.asarray(Xc1)))
-            uv2 = np.asarray(cam.project(jnp.asarray(Xc2)))
-            e1 = ((uv1 - f1.und_xy[i1]) ** 2).sum(1) / self.sf[f1.octave[i1]] ** 2
-            e2 = ((uv2 - f2.und_xy[i2]) ** 2).sum(1) / self.sf[f2.octave[i2]] ** 2
-            ratio_d = d1 / np.maximum(d2, 1e-9)
-            ratio_oct = (
-                self.sf[f1.octave[i1]] / self.sf[f2.octave[i2]]
-            )
-            ok = (
-                (cosp < 0.9998)
-                & (Xc1[:, 2] > 0)
-                & (Xc2[:, 2] > 0)
-                & (e1 < 5.991)
-                & (e2 < 5.991)
-                & (ratio_d < ratio_oct * 1.5 * self.sf[1])
-                & (ratio_d * 1.5 * self.sf[1] > ratio_oct)
-            )
-            for a, b in zip(i1[ok], i2[ok]):
-                if m.kf_mp[kf, a] >= 0 or m.kf_mp[kn, b] >= 0:
+            masks.append(emask & free2[None, :])
+            bits_l.append(f2.bits)
+            ang_l.append(f2.angle)
+            used.append(kn)
+        if not masks:
+            with hold():
+                m.update_connections(kf)
+            return 0
+        n2 = f1.n  # per-neighbor feature count (fixed extractor budget)
+        # NO ratio test: the reference's SearchForTriangulation gates on
+        # dist<TH_LOW + epipolar only (ORBmatcher.cc:1061-1085)
+        midx, _ = M.match_padded(
+            f1.bits[sel1], np.concatenate(bits_l, 0),
+            np.concatenate(masks, 1), max_dist=M.TH_LOW,
+            ang_a=f1.angle[sel1], ang_b=np.concatenate(ang_l),
+        )
+        r1 = np.nonzero(midx >= 0)[0]
+        if len(r1) == 0:
+            with hold():
+                m.update_connections(kf)
+            return 0
+        t_idx = midx[r1] // n2
+        i2 = midx[r1] % n2
+        i1 = sel1[r1]
+        kns = np.asarray(used)[t_idx]
+        R2s = np.stack([pose_snap[int(k)][0] for k in kns])
+        t2s = np.stack([pose_snap[int(k)][1] for k in kns])
+        # two-view DLT triangulation, vectorized on host (M ~ hundreds)
+        P1 = np.concatenate([R1, t1[:, None]], 1)
+        P2 = np.concatenate([R2s, t2s[:, :, None]], 2)  # [M,3,4]
+        x1 = f1.norm_xy[i1]
+        f2cat_norm = np.stack([m.kf_feats[k].norm_xy for k in used])
+        f2cat_und = np.stack([m.kf_feats[k].und_xy for k in used])
+        f2cat_oct = np.stack([m.kf_feats[k].octave for k in used])
+        x2 = f2cat_norm[t_idx, i2]
+        A = np.stack([
+            x1[:, 0, None] * P1[2][None] - P1[0][None],
+            x1[:, 1, None] * P1[2][None] - P1[1][None],
+            x2[:, 0, None] * P2[:, 2] - P2[:, 0],
+            x2[:, 1, None] * P2[:, 2] - P2[:, 1],
+        ], axis=1)  # [M,4,4]
+        _, _, Vt = np.linalg.svd(A)
+        Xh = Vt[:, -1]
+        X = Xh[:, :3] / np.where(np.abs(Xh[:, 3:]) < 1e-12, 1e-12, Xh[:, 3:])
+        # gates (ref LocalMapping.cc:470-720): parallax, cheirality,
+        # reprojection chi2, scale consistency
+        O2s = -np.einsum("mij,mi->mj", R2s, t2s)
+        r1 = X - O1[None]
+        r2 = X - O2s
+        d1 = np.linalg.norm(r1, axis=1)
+        d2 = np.linalg.norm(r2, axis=1)
+        cosp = np.sum(r1 * r2, 1) / np.maximum(d1 * d2, 1e-12)
+        Xc1 = X @ R1.T + t1
+        Xc2 = np.einsum("mij,mj->mi", R2s, X) + t2s
+        uv1 = cam.project_np(Xc1)
+        uv2 = cam.project_np(Xc2)
+        oct2 = f2cat_oct[t_idx, i2]
+        e1 = ((uv1 - f1.und_xy[i1]) ** 2).sum(1) / self.sf[f1.octave[i1]] ** 2
+        e2 = ((uv2 - f2cat_und[t_idx, i2]) ** 2).sum(1) / self.sf[oct2] ** 2
+        ratio_d = d1 / np.maximum(d2, 1e-9)
+        ratio_oct = self.sf[f1.octave[i1]] / self.sf[oct2]
+        ok = (
+            (cosp < 0.9998)
+            & (Xc1[:, 2] > 0)
+            & (Xc2[:, 2] > 0)
+            & (e1 < 5.991)
+            & (e2 < 5.991)
+            & (ratio_d < ratio_oct * 1.5 * self.sf[1])
+            & (ratio_d * 1.5 * self.sf[1] > ratio_oct)
+        )
+        n_created = 0
+        with hold():
+            for w in np.nonzero(ok)[0]:
+                a, b, kn = int(i1[w]), int(i2[w]), int(kns[w])
+                if m.kf_mp[kf, a] >= 0 or m.kf_mp[kn, b] >= 0 \
+                        or not m.kf_valid[kn]:
                     continue
-                mp = m.add_point(X[np.nonzero(i1 == a)[0][0]], kf, int(a))
-                m.add_observation(mp, kn, int(b))
+                mp = m.add_point(X[w], kf, a)
+                m.add_observation(mp, kn, b)
                 m.update_point_stats(mp)
                 self.recent_points.append((mp, kf))
                 n_created += 1
-            free1 = (m.kf_mp[kf] < 0) & f1.valid
-        m.update_connections(kf)
+            m.update_connections(kf)
         return n_created
 
     def _median_depth(self, kf: int):
@@ -356,7 +424,13 @@ class LocalMapper:
 
     # ---------------------------------------------------------------- fusion
     def _fuse_neighbors(self, kf: int):
-        """ref: SearchInNeighbors (LocalMapping.cc:729) + ORBmatcher::Fuse."""
+        """ref: SearchInNeighbors (LocalMapping.cc:729) + ORBmatcher::Fuse.
+
+        TPU-shaped: the forward direction (this KF's points into every
+        neighbor) is ONE masked matcher dispatch — rows are the
+        concatenated target features, columns the own points; per-target
+        frustum/window/scale gates are block-built on host. The serial
+        per-target loop cost one dispatch x ~30 targets."""
         m = self.map
         targets = m.best_covisible(kf, 10)
         second = set()
@@ -364,19 +438,97 @@ class LocalMapper:
             for o in m.best_covisible(kn, 5):
                 if o != kf and o not in targets:
                     second.add(o)
-        targets = list(targets) + list(second)
+        targets = [k for k in list(targets) + list(second) if m.kf_valid[k]]
         own = np.unique(m.kf_mp[kf])
         own = own[own >= 0]
-        for kn in targets:
-            self._fuse_into(kn, own)
-        # reverse: fuse neighbor points into kf
+        own = own[m.mp_valid[own]]
+        if len(own) and targets:
+            self._fuse_batched(targets, own)
+        # reverse: fuse neighbor points into kf (one more dispatch)
         nbr_pts = np.unique(m.kf_mp[targets]) if targets else np.zeros(0, int)
         nbr_pts = nbr_pts[nbr_pts >= 0]
         self._fuse_into(kf, nbr_pts)
-        for j in np.unique(m.kf_mp[kf]):
-            if j >= 0:
-                m.update_point_stats(int(j))
+        m.update_point_stats_batch(np.unique(m.kf_mp[kf]))
         m.update_connections(kf)
+
+    def _fuse_batched(self, targets, mp_ids):
+        """Project mp_ids into EVERY target KF with one matcher dispatch;
+        merge duplicates / claim free slots (ORBmatcher::Fuse semantics,
+        ORBmatcher.cc:1403)."""
+        m = self.map
+        cam = self.camera
+        X = m.mp_pos[mp_ids]
+        P = len(mp_ids)
+        masks, bits_rows = [], []
+        for kn in targets:
+            R, t = m.kf_R[kn], m.kf_t[kn]
+            Xc = X @ R.T + t
+            uv = cam.project_np(Xc)
+            Ow = m.kf_center(kn)
+            vdir = X - Ow[None]
+            dist = np.linalg.norm(vdir, axis=1)
+            cosv = np.sum(vdir * m.mp_normal[mp_ids], 1) / np.maximum(
+                dist, 1e-9)
+            okp = (
+                (Xc[:, 2] > 0)
+                & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+                & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+                & (dist >= 0.8 * m.mp_min_dist[mp_ids])
+                & (dist <= 1.2 * m.mp_max_dist[mp_ids])
+                & (cosv > 0.5)
+            )
+            f = m.kf_feats[kn]
+            sel = np.nonzero(okp)[0]  # window math on in-frustum subset
+            block = np.zeros((f.n, P), bool)
+            if len(sel):
+                pred = m.predict_scale(np.maximum(dist[sel], 1e-9),
+                                       mp_ids[sel])
+                mask_pn = (
+                    M.window_mask_np(
+                        uv[sel].astype(np.float32),
+                        f.xy.astype(np.float32),
+                        (self.cfg.mapping.fuse_radius
+                         * self.sf[pred]).astype(np.float32))
+                    & f.valid[None, :]
+                    & M.level_mask_np(pred, f.octave, 1, 1)
+                )  # [P', N]
+                block[:, sel] = mask_pn.T
+            masks.append(block)  # rows = target features
+            bits_rows.append(f.bits)
+        big_mask = np.concatenate(masks, 0)        # [T*N, P]
+        big_bits = np.concatenate(bits_rows, 0)    # [T*N, 256]
+        midx, mdist = M.match_padded(
+            big_bits, m.mp_bits[mp_ids], big_mask, max_dist=M.TH_LOW,
+            one_to_one=False,
+        )
+        n_feat = m.kf_feats[targets[0]].n
+        rows = np.nonzero(midx >= 0)[0]
+        # per-(target, point) dedup: keep the best-distance feature (the
+        # reference projects each point and keeps its single best feature)
+        best: dict[tuple, tuple] = {}
+        for r in rows:
+            t_i = int(r // n_feat)
+            slot = int(r % n_feat)
+            p = int(midx[r])
+            key = (t_i, p)
+            d = int(mdist[r])
+            if key not in best or d < best[key][0]:
+                best[key] = (d, slot)
+        for (t_i, p), (_, slot) in best.items():
+            kn = targets[t_i]
+            mp = int(mp_ids[p])
+            if not m.mp_valid[mp]:
+                continue
+            existing = int(m.kf_mp[kn, slot])
+            if existing >= 0:
+                if existing != mp and m.mp_valid[existing]:
+                    # keep the one with more observations (ref: Fuse)
+                    if len(m.mp_obs[existing]) > len(m.mp_obs[mp]):
+                        m.replace_point(mp, existing)
+                    else:
+                        m.replace_point(existing, mp)
+            else:
+                m.add_observation(mp, kn, slot)
 
     def _fuse_into(self, kf: int, mp_ids):
         """Project mp_ids into kf; merge with existing or claim free slots."""
@@ -388,7 +540,7 @@ class LocalMapper:
         R, t = m.kf_R[kf], m.kf_t[kf]
         X = m.mp_pos[mp_ids]
         Xc = X @ R.T + t
-        uv = np.asarray(cam.project(jnp.asarray(Xc)))
+        uv = cam.project_np(Xc)
         Ow = m.kf_center(kf)
         dist = np.linalg.norm(X - Ow[None], axis=1)
         cosv = np.sum((X - Ow[None]) * m.mp_normal[mp_ids], 1) / np.maximum(dist, 1e-9)
@@ -429,18 +581,19 @@ class LocalMapper:
                 m.add_observation(mp, kf, slot)
 
     # ---------------------------------------------------------------- localBA
-    def _local_ba(self, kf: int):
+    def _local_ba(self, kf: int, hold=None):
         """ref: Optimizer::LocalBundleAdjustment (Optimizer.cc:1699):
         window = covisible KFs of kf; points they see; fixed frontier =
         other KFs observing those points; 5+10 LM schedule with chi2 pruning."""
         window = [kf] + self.map.best_covisible(kf)
         window_ba(self.map, self.camera, self.camspec, self.inv_sigma2,
                   self.bf, window, n_iters=self.cfg.mapping.local_ba_iters,
-                  abort_check=self.abort_check)
+                  abort_check=self.abort_check, hold=hold)
 
 
 def window_ba(m: SlamMap, camera, camspec, inv_sigma2, bf, window,
-              n_iters: int = 15, abort_check=None, fixed_kfs=None):
+              n_iters: int = 15, abort_check=None, fixed_kfs=None,
+              hold=None):
     """Local BA over an EXPLICIT keyframe window (the reusable core of
     Optimizer::LocalBundleAdjustment, Optimizer.cc:1699; also serves the
     merge weld-area BA, Optimizer.cc:6255 via LoopClosing.cc:1722):
@@ -454,9 +607,57 @@ def window_ba(m: SlamMap, camera, camspec, inv_sigma2, bf, window,
     fixed_kfs: KFs to include in the problem but hold FIXED beyond the
     frontier (the merge weld BA fixes the whole merge-map side — ref
     LoopClosing.cc:1722 passes vpMergeConnectedKFs as the fixed set).
+    hold: optional lock-context factory — assembly and write-back run
+    under the map lock, the LM solves run lock-free on the snapshot (the
+    reference holds no map mutex across the g2o iterations either;
+    write-back takes it, Optimizer.cc:2215).
     """
+    import contextlib
+
+    if hold is None:
+        hold = lambda: contextlib.nullcontext()
     cam = camera
     fixed_kfs = set(int(k) for k in (fixed_kfs or ()))
+    with hold():
+        snap = _window_ba_assemble(m, inv_sigma2, window, fixed_kfs)
+    if snap is None:
+        return
+    (window, kf_list, kf_index, fixed, pts, obs_kf, obs_pt, uvr, inv_s2,
+     stereo, obs_j, obs_okf, R0s, t0s, X0s) = snap
+    chi2_th = np.where(stereo, 7.815, 5.991)
+    # phase 1 (5 it robust), prune, phase 2 (ref :2048,:2121) — solves on
+    # the SNAPSHOT, no lock held
+    Rf, tf, Xf, chi2, posz = B.ba_solve_np(
+        R0s, t0s, X0s,
+        obs_kf, obs_pt, uvr, inv_s2, stereo, np.ones(len(obs_kf), bool),
+        fixed, cam.fx, cam.fy, cam.cx, cam.cy, bf, n_iters=5,
+        cam=camspec,
+    )
+    good = (chi2 <= chi2_th) & posz
+    if abort_check is None or not abort_check():
+        Rf, tf, Xf, chi2, posz = B.ba_solve_np(
+            Rf, tf, Xf, obs_kf, obs_pt, uvr, inv_s2, stereo, good,
+            fixed, cam.fx, cam.fy, cam.cx, cam.cy, bf, cam=camspec,
+            n_iters=n_iters,
+        )
+    with hold():
+        # write back (staleness-guarded: culled KFs/points are skipped)
+        for i in np.nonzero(~fixed)[0]:
+            if m.kf_valid[kf_list[i]]:
+                m.kf_R[kf_list[i]] = Rf[i]
+                m.kf_t[kf_list[i]] = tf[i]
+        live = m.mp_valid[pts]
+        m.mp_pos[pts[live]] = Xf[live]
+        # erase observations that remain outliers (ref :2259-2290)
+        bad = (chi2 > chi2_th) | ~posz
+        for o in np.nonzero(bad)[0]:
+            j, okf = int(obs_j[o]), int(obs_okf[o])
+            if m.mp_valid[j]:
+                m.erase_observation(j, okf)
+        m.update_point_stats_batch(pts)
+
+
+def _window_ba_assemble(m, inv_sigma2, window, fixed_kfs):
     window = sorted(set(int(k) for k in window)
                     - fixed_kfs)  # dedup; fixed side handled below
     window = [k for k in window if m.kf_valid[k]]
@@ -484,50 +685,41 @@ def window_ba(m: SlamMap, camera, camspec, inv_sigma2, bf, window,
         # with one fixed pose the mono scale gauge is handled by LM
         # damping and BA can still reconcile early/late scale.
         fixed[kf_index[min(window)]] = True
-    pt_index = {int(j): i for i, j in enumerate(pts)}
-    obs_kf, obs_pt, uvr, inv_s2, obs_ref, stereo = [], [], [], [], [], []
-    for j in pts:
-        for okf, slot in m.mp_obs[int(j)].items():
-            f = m.kf_feats[okf]
-            obs_kf.append(kf_index[okf])
-            obs_pt.append(pt_index[int(j)])
-            ur = f.u_right[slot] if f.u_right is not None else -1.0
-            uvr.append([f.und_xy[slot, 0], f.und_xy[slot, 1],
-                        ur if ur >= 0 else 0.0])
-            stereo.append(ur >= 0)
-            inv_s2.append(inv_sigma2[f.octave[slot]])
-            obs_ref.append((int(j), okf))
-    obs_kf = np.array(obs_kf, np.int32)
-    obs_pt = np.array(obs_pt, np.int32)
-    uvr = np.array(uvr)
-    inv_s2 = np.array(inv_s2)
-    stereo = np.array(stereo, bool)
-    chi2_th = np.where(stereo, 7.815, 5.991)
-    # phase 1 (5 it robust), prune, phase 2 (ref :2048,:2121)
-    Rf, tf, Xf, chi2, posz = B.ba_solve_np(
-        m.kf_R[kf_list], m.kf_t[kf_list], m.mp_pos[pts],
-        obs_kf, obs_pt, uvr, inv_s2, stereo, np.ones(len(obs_kf), bool),
-        fixed, cam.fx, cam.fy, cam.cx, cam.cy, bf, n_iters=5,
-        cam=camspec,
-    )
-    good = (chi2 <= chi2_th) & posz
-    if abort_check is None or not abort_check():
-        Rf, tf, Xf, chi2, posz = B.ba_solve_np(
-            Rf, tf, Xf, obs_kf, obs_pt, uvr, inv_s2, stereo, good,
-            fixed, cam.fx, cam.fy, cam.cx, cam.cy, bf, cam=camspec,
-            n_iters=n_iters,
-        )
-    # write back
-    for i in np.nonzero(~fixed)[0]:
-        m.kf_R[kf_list[i]] = Rf[i]
-        m.kf_t[kf_list[i]] = tf[i]
-    m.mp_pos[pts] = Xf
-    # erase observations that remain outliers (ref :2259-2290)
-    bad = (chi2 > chi2_th) | ~posz
-    for o in np.nonzero(bad)[0]:
-        j, okf = obs_ref[o]
-        if m.mp_valid[j]:
-            m.erase_observation(j, okf)
-    for j in pts:
-        if m.mp_valid[int(j)]:
-            m.update_point_stats(int(j))
+    # vectorized per-KF observation assembly (one numpy pass per keyframe
+    # row instead of a Python walk over every observation dict)
+    pt_row = np.full(int(pts.max()) + 1, -1, np.int32)
+    pt_row[pts] = np.arange(len(pts), dtype=np.int32)
+    obs_kf_l, obs_pt_l, uvr_l, is2_l, st_l, oj_l, okf_l = \
+        [], [], [], [], [], [], []
+    for k in kf_list:
+        row = m.kf_mp[k]
+        slots = np.nonzero((row >= 0) & (row <= pts.max()))[0]
+        rows = pt_row[row[slots]]
+        ok = rows >= 0
+        slots, rows = slots[ok], rows[ok]
+        if len(slots) == 0:
+            continue
+        f = m.kf_feats[k]
+        ur = (f.u_right[slots] if f.u_right is not None
+              else np.full(len(slots), -1.0))
+        obs_kf_l.append(np.full(len(slots), kf_index[k], np.int32))
+        obs_pt_l.append(rows)
+        uvr_l.append(np.concatenate(
+            [f.und_xy[slots], np.where(ur >= 0, ur, 0.0)[:, None]], 1))
+        is2_l.append(inv_sigma2[f.octave[slots]])
+        st_l.append(ur >= 0)
+        oj_l.append(row[slots])
+        okf_l.append(np.full(len(slots), k, np.int64))
+    if not obs_kf_l:
+        return
+    obs_kf = np.concatenate(obs_kf_l)
+    obs_pt = np.concatenate(obs_pt_l)
+    uvr = np.concatenate(uvr_l)
+    inv_s2 = np.concatenate(is2_l)
+    stereo = np.concatenate(st_l)
+    obs_j = np.concatenate(oj_l)
+    obs_okf = np.concatenate(okf_l)
+    return (window, kf_list, kf_index, fixed, pts, obs_kf, obs_pt, uvr,
+            inv_s2, stereo, obs_j, obs_okf,
+            m.kf_R[kf_list].copy(), m.kf_t[kf_list].copy(),
+            m.mp_pos[pts].copy())

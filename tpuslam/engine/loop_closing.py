@@ -300,7 +300,7 @@ class LoopCloser:
         Xl = m.mp_pos[pts] @ m.kf_R[cand].T + m.kf_t[cand]
         Xc = s * Xl @ R.T + t
         z = Xc[:, 2]
-        uv = np.asarray(cam.project(jnp.asarray(Xc)))
+        uv = cam.project_np(Xc)
         in_img = (z > 0.05) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) \
             & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
         pts, uv = pts[in_img], uv[in_img]
@@ -518,24 +518,50 @@ class LoopCloser:
         """Run the solve on the snapshot WITHOUT the map lock, in chunks so
         an abort request (new loop/merge, shutdown) is honored between
         chunks (ref: mbStopGBA checks inside the g2o loop,
-        LoopClosing.cc:2445-2450)."""
+        LoopClosing.cc:2445-2450).
+
+        With >1 visible device and a large-enough problem the solve is the
+        obs-sharded distributed step (parallel/dist_ba.py) — the engine's
+        GBA *is* the distributed-BA serving path (BASELINE.json north
+        star), not a standalone layer."""
         from ..solve import ba as B
 
         cam = self.camera
         R, t, X = snap["R"], snap["t"], snap["X"]
+        O = len(snap["obs_kf"])
+        devices = jax.devices()
+        use_dist = (len(devices) > 1
+                    and O >= self.cfg.loop.dist_gba_min_obs)
         per = max(1, n_iters // chunks)
         done = 0
-        while done < n_iters:
-            if snap["abort"].is_set():
-                return None
-            R, t, X, chi2, posz = B.ba_solve_np(
-                R, t, X, snap["obs_kf"], snap["obs_pt"], snap["uvr"],
-                snap["inv_s2"], snap["stereo"],
-                np.ones(len(snap["obs_kf"]), bool), snap["fixed"],
-                cam.fx, cam.fy, cam.cx, cam.cy, snap["bf"],
-                n_iters=min(per, n_iters - done), cam=cam.spec,
-            )
-            done += per
+        if use_dist:
+            from jax.sharding import Mesh
+            from ..parallel.dist_ba import dist_ba_solve
+
+            mesh = Mesh(np.array(devices), ("obs",))
+            while done < n_iters:
+                if snap["abort"].is_set():
+                    return None
+                R, t, X, _cost = dist_ba_solve(
+                    mesh, R, t, X, snap["obs_kf"], snap["obs_pt"],
+                    snap["uvr"], snap["inv_s2"], snap["stereo"],
+                    np.ones(O, bool), snap["fixed"],
+                    cam.fx, cam.fy, cam.cx, cam.cy, snap["bf"],
+                    n_iters=min(per, n_iters - done), cam=cam.spec,
+                )
+                done += per
+        else:
+            while done < n_iters:
+                if snap["abort"].is_set():
+                    return None
+                R, t, X, chi2, posz = B.ba_solve_np(
+                    R, t, X, snap["obs_kf"], snap["obs_pt"], snap["uvr"],
+                    snap["inv_s2"], snap["stereo"],
+                    np.ones(O, bool), snap["fixed"],
+                    cam.fx, cam.fy, cam.cx, cam.cy, snap["bf"],
+                    n_iters=min(per, n_iters - done), cam=cam.spec,
+                )
+                done += per
         if snap["abort"].is_set():
             return None
         return R, t, X

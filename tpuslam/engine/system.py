@@ -67,10 +67,10 @@ class System:
         mapper_for_tracker = self.local_mapper
         closer_for_tracker = self.loop_closer
         if async_mapping:
-            if use_imu:
-                raise ValueError(
-                    "async_mapping currently supports visual-only sensors "
-                    "(inertial needs the synchronous bias feedback)")
+            # inertial sensors are supported: the tracker re-syncs its
+            # bias/velocity state from the last KF whenever the worker
+            # bumps map_version (the reference's UpdateFrameIMU handshake,
+            # src/Tracking.cc:2993 — see Tracker._sync_imu_from_map)
             from ..parallel.async_mapping import AsyncMapper
             self.async_mapper = AsyncMapper(
                 self.local_mapper, self.loop_closer, self.map.lock)
@@ -166,8 +166,11 @@ class System:
         self.tracker.velocity = None
 
     def shutdown(self):
-        """ref: System::Shutdown (System.cc:487) — join worker threads
-        (async mapper + any background GBA)."""
+        """ref: System::Shutdown (System.cc:487) — settle the tracking
+        pipeline and join worker threads (async mapper + background GBA)."""
+        self.tracker._flush_pipeline()
+        self.tracker.last_frame = (self.tracker._last_completed
+                                   or self.tracker.last_frame)
         if self.async_mapper is not None:
             self.async_mapper.shutdown()
         if self.loop_closer is not None:

@@ -60,7 +60,8 @@ def _pose_solver():
 
 
 def make_fused_step(camera, orb_cfg: OrbConfig, tcfg, n_levels: int,
-                    scale: float, bf: float, stereo: bool):
+                    scale: float, bf: float, stereo: bool,
+                    n_passes: int = 3, sad: str = "pyramid"):
     """Build the jittable fused tracking step for one camera/config.
 
     Returned callable signature (all device arrays, f32 unless noted):
@@ -99,15 +100,22 @@ def make_fused_step(camera, orb_cfg: OrbConfig, tcfg, n_levels: int,
                 fl["bits"], fr["bits"], fl["xy"], fr["xy"],
                 fl["octave"], fr["octave"], fl["valid"], fr["valid"],
                 sf, 0.3, fx)
-            u_r, sad, ok = sad_refine_pyramid(
-                imgs[0].astype(f32), imgs[1].astype(f32), fl["xy"],
-                fl["octave"], u_r, ok, n_levels=n_levels, scale=scale)
+            if sad == "pyramid":
+                from ..ops.stereo import sad_refine_pyramid as sad_fn
+                u_r, sadv, ok = sad_fn(
+                    imgs[0].astype(f32), imgs[1].astype(f32), fl["xy"],
+                    fl["octave"], u_r, ok, n_levels=n_levels, scale=scale)
+            else:  # level-0 SAD: cheaper gathers, same parabola refine
+                from ..ops.stereo import sad_refine as sad_fn
+                u_r, sadv, ok = sad_fn(
+                    imgs[0].astype(f32), imgs[1].astype(f32), fl["xy"],
+                    u_r, ok)
             # median-SAD outlier filter (ref Frame.cc:931-975): masked
             # median over the ok set, th = 1.5 * 1.4 * median
-            big = jnp.where(ok, sad, jnp.inf)
+            big = jnp.where(ok, sadv, jnp.inf)
             n_ok = jnp.maximum(jnp.sum(ok), 1)
-            med = jnp.sort(big)[jnp.clip(n_ok // 2, 0, sad.shape[0] - 1)]
-            ok = ok & (sad < 1.5 * 1.4 * med)
+            med = jnp.sort(big)[jnp.clip(n_ok // 2, 0, sadv.shape[0] - 1)]
+            ok = ok & (sadv < 1.5 * 1.4 * med)
             disp = fl["xy"][:, 0] - u_r
             ok = ok & (disp > 1e-3)
             z = jnp.where(ok, bf / jnp.maximum(disp, 1e-9), -1.0)
@@ -120,12 +128,25 @@ def make_fused_step(camera, orb_cfg: OrbConfig, tcfg, n_levels: int,
         f["depth"] = jnp.full((f["xy"].shape[0],), -1.0, f32)
         return f
 
-    def pose_opt(R, t, Xrows, uvr_rows, is2_rows, stereo_rows, valid_rows):
+    def pose_opt(R, t, Xrows, uvr_rows, is2_rows, stereo_rows, valid_rows,
+                 n_rounds=4):
+        """Intermediate passes run a SHORT LM schedule (2 rounds): their
+        pose only seeds the next re-association, so the full 4x10
+        robust-reclassification schedule (ref Optimizer.cc:854) is spent
+        once, on the final pass — the chain is latency-bound (the whole
+        solve is sequential on device)."""
         return solver(R, t, Xrows, uvr_rows, is2_rows, stereo_rows,
-                      valid_rows, fx, fy, cx, cy, bf)
+                      valid_rows, fx, fy, cx, cy, bf, n_rounds=n_rounds)
 
-    def step(imgs, mapGeo, mapBits, mapValid, refBits, refMeta,
-             R0, t0, min_req2):
+    def step(imgs, mapGeo, mapBits, mapValid, refBits, refMeta, pose_in,
+             min_req2v):
+        # pose_in [13]: R0 (9, row-major) | t0 (3) | ignored — the SAME
+        # layout as the output "pose", so the pipelined mode chains the
+        # previous step's device output straight in without a fetch.
+        # min_req2v [1]: widen threshold (uploaded only when it changes).
+        R0 = pose_in[:9].reshape(3, 3)
+        t0 = pose_in[9:12]
+        min_req2 = min_req2v[0].astype(jnp.int32)
         mapX = mapGeo[:, 0:3]
         mapNormal = mapGeo[:, 3:6]
         mapMind = mapGeo[:, 6]
@@ -165,14 +186,14 @@ def make_fused_step(camera, orb_cfg: OrbConfig, tcfg, n_levels: int,
         avalidA = assocA >= 0
         XA = mapX[jnp.clip(assocA, 0, P - 1)]
         R1, t1, _, _ = pose_opt(R0, t0, XA, uvr_feat, is2_feat,
-                                st_feat & avalidA, avalidA)
+                                st_feat & avalidA, avalidA, n_rounds=2)
 
         # ---- local-map passes: hamming matrix is pose-independent ->
         # compute once, re-mask per pass
         dist_map = hamming_matrix(mapBits, feats["bits"])
         oct_b = feats["octave"]
 
-        def local_pass(R, t, radius_mult):
+        def local_pass(R, t, radius_mult, n_rounds=4):
             Xc = mapX @ R.T + t
             z = Xc[:, 2]
             uv = camera.project(Xc)
@@ -210,26 +231,37 @@ def make_fused_step(camera, orb_cfg: OrbConfig, tcfg, n_levels: int,
             avalid = assoc >= 0
             Xr = mapX[jnp.clip(assoc, 0, P - 1)]
             R2, t2, inl_f, _ = pose_opt(R, t, Xr, uvr_feat, is2_feat,
-                                        st_feat & avalid, avalid)
+                                        st_feat & avalid, avalid,
+                                        n_rounds=n_rounds)
             return R2, t2, assoc, inl_f & avalid, in_img
 
-        R2, t2, assoc, inl_f, in_img = local_pass(R1, t1, jnp.asarray(1.0, f32))
-        n1 = jnp.sum(inl_f)
-        # conditional widen (ref widens SearchByProjection th when weak)
-        widen = (n1 < min_req2).astype(f32) * 2.0 + 1.0
-        R2, t2, assoc, inl_f, in_img = local_pass(R2, t2, widen)
-        R2, t2, assoc, inl_f, in_img = local_pass(R2, t2, jnp.asarray(1.0, f32))
+        R2, t2, assoc, inl_f, in_img = local_pass(
+            R1, t1, jnp.asarray(1.0, f32),
+            n_rounds=2 if n_passes > 1 else 4)
+        if n_passes > 1:
+            n1 = jnp.sum(inl_f)
+            # conditional widen (ref widens SearchByProjection th when weak)
+            widen = (n1 < min_req2).astype(f32) * 2.0 + 1.0
+            R2, t2, assoc, inl_f, in_img = local_pass(
+                R2, t2, widen, n_rounds=2 if n_passes > 2 else 4)
+        if n_passes > 2:
+            R2, t2, assoc, inl_f, in_img = local_pass(
+                R2, t2, jnp.asarray(1.0, f32))
 
         # per-row "found" flag (map-point indexed) for host counters:
         # row matched by some feature AND that feature is an inlier
         found = jnp.zeros((P,), bool).at[
             jnp.where(assoc >= 0, assoc, P)].set(inl_f, mode="drop")
+        # outputs packed into THREE arrays (fetch RPC count matters):
+        #   pose_f32 [13] = R (9) | t (3) | n_inliers
+        #   assoc    [N]  = map row per feature (-1 none/outlier)
+        #   rowflags [2P] = visible | found
         return dict(
-            R=R2, t=t2,
+            pose=jnp.concatenate([
+                R2.reshape(-1), t2,
+                jnp.sum(inl_f).astype(f32)[None]]),
             assoc=jnp.where(inl_f, assoc, -1),   # feature -> map row
-            n_inliers=jnp.sum(inl_f),
-            visible=in_img,
-            found=found,
+            rowflags=jnp.concatenate([in_img, found]),
             feats=feats,
         )
 
@@ -296,15 +328,34 @@ class FusedTracker:
         self._stereo = tracker.sensor != "mono"
         self._make = functools.partial(
             make_fused_step, tracker.camera, cfg.orb, cfg.tracking,
-            cfg.orb.n_levels, cfg.orb.scale, tracker.bf)
+            cfg.orb.n_levels, cfg.orb.scale, tracker.bf,
+            n_passes=cfg.tracking.fused_passes,
+            sad=cfg.tracking.fused_sad)
         self.ids = np.zeros(0, np.int64)
         self._cache_key = None
+        self._min_req_dev = None
+        self._min_req_val = None
+
+    # compiled step programs shared across System instances (keyed by the
+    # full static configuration — a fresh System must not recompile)
+    _CACHE: dict = {}
 
     def _step_for(self, Pb: int, stereo: bool):
-        key = (Pb, stereo)
-        if key not in self._steps:
-            self._steps[key] = self._make(stereo)
-        return self._steps[key]
+        cam = self.tr.camera
+        cfg = self.tr.cfg
+        import dataclasses as dc
+        key = (
+            Pb, stereo, type(cam).__name__, tuple(map(float, cam.params)),
+            tuple(map(float, getattr(cam, "dist", []))),
+            cam.width, cam.height, float(self.tr.bf),
+            dc.astuple(cfg.orb),
+            cfg.tracking.fused_passes, cfg.tracking.fused_sad,
+            cfg.tracking.nn_ratio_ref_kf, cfg.tracking.nn_ratio_local,
+            cfg.tracking.local_map_radius, cfg.tracking.local_map_radius_tight,
+        )
+        if key not in FusedTracker._CACHE:
+            FusedTracker._CACHE[key] = self._make(stereo)
+        return FusedTracker._CACHE[key]
 
     def build_local_map(self, frame_mp: np.ndarray):
         """K1/K2 covisibility vote from the LAST frame's matches (host; ref
@@ -315,6 +366,8 @@ class FusedTracker:
         (KF insertion, mapping, loop/GBA, gravity align — tracked by the
         (n_kf, n_mp, map_version) key) the local map is bitwise identical,
         so the upload (≈1 MB through the tunnel) is skipped entirely."""
+        from ..utils.timing import GLOBAL_TIMER as T
+
         m = self.map
         counts: dict[int, int] = {}
         for j in frame_mp[frame_mp >= 0]:
@@ -330,6 +383,11 @@ class FusedTracker:
         key = (k1[0], m.n_kf, m.n_mp, m.map_version)
         if key == self._cache_key:
             return True
+        with T.stage("fused.rebuild"):
+            return self._rebuild(k1, key)
+
+    def _rebuild(self, k1, key):
+        m = self.map
         local_kfs = list(k1)
         seen = set(local_kfs)
         for kf in k1[:10]:
@@ -374,37 +432,90 @@ class FusedTracker:
         self._cache_key = key
         return True
 
-    def track(self, img_l, img_r, frame, R0, t0, min_req: int):
-        """Run the fused step; fills frame.{R,t,mp,feats} and updates map
-        counters. Returns n_inliers."""
-        m = self.map
+    def _min_req2(self, min_req: int):
+        v = 2 * min_req
+        if self._min_req_dev is None or self._min_req_val != v:
+            self._min_req_dev = jnp.asarray(np.float32([v]))
+            self._min_req_val = v
+        return self._min_req_dev
+
+    def dispatch(self, img_l, img_r, pose_in, min_req: int):
+        """Enqueue the fused step; returns the device output dict (host
+        copies of the small outputs start streaming immediately).
+        pose_in: [13] f32 — a previous step's device "pose" output
+        (pipelined chain) or a host-packed array."""
+        from ..utils.timing import GLOBAL_TIMER as T
+
         step = self._step_for(self.Pb, self._stereo)
-        if img_r is None:
-            imgs = np.asarray(img_l, np.float32)[None]
-        else:
-            imgs = np.stack([np.asarray(img_l, np.float32),
-                             np.asarray(img_r, np.float32)])
-        out = step(
-            jnp.asarray(imgs), self.mapGeo, self.mapBits, self.mapValid,
-            self.refBits, self.refMeta, jnp.asarray(R0, np.float32),
-            jnp.asarray(t0, np.float32), jnp.asarray(2 * min_req, np.int32))
-        # ONE fetch for the small outputs; feature arrays stay on device
-        R, t, assoc, n_inl, visible, found = jax.device_get(
-            (out["R"], out["t"], out["assoc"], out["n_inliers"],
-             out["visible"], out["found"]))
-        frame.R = np.asarray(R, np.float64)
-        frame.t = np.asarray(t, np.float64)
+        with T.stage("fused.upload"):
+            # ship u8 (the native camera format): the image transfer is
+            # the largest per-frame host->device payload, and a tunneled
+            # backend is bandwidth-bound on it (measured: 2.9 MB f32 pair
+            # ≈ 55 ms vs 0.7 MB u8 ≈ 14 ms). The extractor casts to f32
+            # on device.
+            def to_u8(im):
+                im = np.asarray(im)
+                if im.dtype == np.uint8:
+                    return im
+                return np.clip(np.round(im), 0, 255).astype(np.uint8)
+
+            if img_r is None:
+                imgs = to_u8(img_l)[None]
+            else:
+                imgs = np.stack([to_u8(img_l), to_u8(img_r)])
+            imgs = jnp.asarray(imgs)
+        with T.stage("fused.dispatch"):
+            if not isinstance(pose_in, jax.Array):
+                pose_in = jnp.asarray(np.asarray(pose_in, np.float32))
+            out = step(
+                imgs, self.mapGeo, self.mapBits, self.mapValid,
+                self.refBits, self.refMeta, pose_in,
+                self._min_req2(min_req))
+            out["ids"] = self.ids  # snapshot (rebuilds swap self.ids)
+            # start the device->host copies NOW so the fetch at completion
+            # time overlaps the NEXT frame's execution (pipelined mode)
+            for k in ("pose", "assoc", "rowflags"):
+                try:
+                    out[k].copy_to_host_async()
+                except Exception:
+                    pass
+        return out
+
+    def complete(self, out, frame):
+        """Fetch the step's results; fill frame.{R,t,mp,feats} and update
+        map counters. Returns n_inliers."""
+        from ..utils.timing import GLOBAL_TIMER as T
+
+        m = self.map
+        with T.stage("fused.fetch"):
+            pose, assoc, rowflags = jax.device_get(
+                (out["pose"], out["assoc"], out["rowflags"]))
+        ids = out["ids"]
+        Pb = rowflags.shape[0] // 2
+        visible = rowflags[:Pb]
+        found = rowflags[Pb:]
+        n_inl = pose[12]
+        frame.R = np.asarray(pose[:9], np.float64).reshape(3, 3)
+        frame.t = np.asarray(pose[9:12], np.float64)
         frame.feats = DeviceFeatures(out["feats"])
-        P = len(self.ids)
+        P = len(ids)
         frame.mp = np.full(assoc.shape[0], -1, np.int32)
         okf = (assoc >= 0) & (assoc < P)
-        frame.mp[okf] = self.ids[assoc[okf]]
+        frame.mp[okf] = ids[assoc[okf]]
         # cached tensors can outlive a culled/replaced point by a frame
         # (async mapping): drop stale ids
         stale = (frame.mp >= 0) & ~m.mp_valid[np.maximum(frame.mp, 0)]
         frame.mp[stale] = -1
-        vis_ids = self.ids[visible[:P]]
-        fnd_ids = self.ids[found[:P]]
+        vis_ids = ids[visible[:P]]
+        fnd_ids = ids[found[:P]]
         m.mp_visible[vis_ids[m.mp_valid[vis_ids]]] += 1
         m.mp_found[fnd_ids[m.mp_valid[fnd_ids]]] += 1
         return int(n_inl)
+
+    def track(self, img_l, img_r, frame, R0, t0, min_req: int):
+        """Synchronous fused step (dispatch + complete)."""
+        pose_in = np.concatenate([
+            np.asarray(R0, np.float32).ravel(),
+            np.asarray(t0, np.float32), np.float32([0.0])])
+        out = self.dispatch(img_l, img_r, pose_in, min_req)
+        return self.complete(out, frame)

@@ -114,6 +114,9 @@ class Tracker:
         # localization-only mode (ref: mbOnlyTracking, ActivateLocalization-
         # Mode System.h:122): track against the frozen map, no KF insertion
         self.only_tracking = False
+        # ref: Tracking::mbVO — in localization mode, true when the frame
+        # tracks mostly temporary visual-odometry points (few map matches)
+        self.vo_mode = False
         # set by System.change_dataset (ref System.h:178): next frame starts
         # a fresh Atlas map / resets a young one
         self._force_new_map = False
@@ -123,26 +126,41 @@ class Tracker:
         # uses the host path below.
         self.fused_enabled = True
         self._fused = None
+        # pipelined fused tracking: the in-flight (frame, device out,
+        # min_req) tuple — completed when the NEXT frame is dispatched
+        self._pending = None
+        self._last_completed = None
 
     # ------------------------------------------------------------------ util
     def _project(self, R, t, X):
         Xc = X @ R.T + t
-        uv = np.asarray(self.camera.project(jnp.asarray(Xc)))
+        uv = self.camera.project_np(Xc)
         return uv, Xc[:, 2], Xc
 
-    def _pose_opt(self, R0, t0, frame: Frame, mp_ids):
+    def _pose_opt(self, R0, t0, frame: Frame, mp_ids, X_by_feat=None,
+                  valid_by_feat=None):
         """Run motion-only optimization over the frame's current matches.
         Shapes are bucketed so the jit program is reused across frames.
         Stereo features (u_right >= 0) contribute 3-dim residuals
-        (ref: PoseOptimization stereo edges Optimizer.cc:975)."""
+        (ref: PoseOptimization stereo edges Optimizer.cc:975).
+
+        X_by_feat/valid_by_feat: optional per-feature 3D positions + mask
+        overriding the map lookup — serves temporary visual-odometry
+        points that are not map points (localization mode)."""
         from ..utils.pad import bucket, pad_to
 
-        sel = np.nonzero(mp_ids >= 0)[0]
+        if valid_by_feat is not None:
+            sel = np.nonzero(valid_by_feat)[0]
+        else:
+            sel = np.nonzero(mp_ids >= 0)[0]
         n = len(sel)
         if n < 3:
             return R0, t0, np.zeros(0, bool), sel
         nb = bucket(n, 256)
-        X = pad_to(self.map.mp_pos[mp_ids[sel]], nb)
+        if X_by_feat is not None:
+            X = pad_to(X_by_feat[sel], nb)
+        else:
+            X = pad_to(self.map.mp_pos[mp_ids[sel]], nb)
         und = frame.feats.und_xy[sel]
         if frame.feats.u_right is not None:
             ur = frame.feats.u_right[sel]
@@ -286,6 +304,36 @@ class Tracker:
 
         if self.use_imu and imu is not None and len(imu):
             self.imu_since_kf.extend(np.asarray(imu, np.float64).tolist())
+        # --- IMU sanity guards (ref: Tracking.cc:854-891 timestamp-jump
+        # handling; LocalMapping.cc:138-145 bad-IMU map reset)
+        if self.use_imu and self.map.bad_imu:
+            self.map.bad_imu = False
+            from ..utils.verbose import print_mess
+            print_mess("[tracking] bad IMU stream: resetting active map")
+            self.reset_active_map()
+        if (self.last_frame is not None
+                and not self._force_new_map  # dataset boundary is expected
+                and self.state not in (State.NO_IMAGES_YET,
+                                       State.NOT_INITIALIZED)):
+            dt_jump = time - self.last_frame.time
+            if dt_jump < 0:
+                # timestamps went backwards: broken stream -> reset the
+                # active map (ref Tracking.cc:861-868)
+                from ..utils.verbose import print_mess
+                print_mess("[tracking] timestamp went backwards: reset")
+                self.reset_active_map()
+            elif self.use_imu and dt_jump > 1.0:
+                # >1 s sensor gap: the preintegration bridge is unusable.
+                # With a mature inertial map spawn a fresh Atlas map, else
+                # reset in place (ref Tracking.cc:869-890: CreateMapInAtlas
+                # when IMU initialized, ResetActiveMap otherwise)
+                from ..utils.verbose import print_mess
+                print_mess(f"[tracking] {dt_jump:.2f}s sensor gap")
+                if self.map.imu_initialized and self.map.inertial_ba1:
+                    self._force_new_map = True
+                else:
+                    self.reset_active_map()
+                self.imu_since_kf = []
         # fused on-device path: extraction happens INSIDE the fused step,
         # so try it before the host extraction
         fused_ok = (
@@ -302,7 +350,21 @@ class Tracker:
         frame = Frame(None, time, self.frame_id)
         self.frame_id += 1
         ran = False
-        if fused_ok:
+        if self._pending is not None and not (
+                fused_ok and self.cfg.tracking.pipelined):
+            # leaving the pipelined path (state change / sensor change):
+            # settle the in-flight frame first
+            self._flush_pipeline()
+            self.last_frame = self._last_completed or self.last_frame
+        if fused_ok and self.cfg.tracking.pipelined:
+            with self.map.lock:
+                with T.stage("track_fused"):
+                    res = self._track_fused_pipelined(frame, img, img_right)
+            if res is not None:
+                ran = True
+                self.last_frame = self._last_completed or self.last_frame
+                return frame
+        if fused_ok and not ran:
             with self.map.lock:
                 with T.stage("track_fused"):
                     res = self._track_fused(frame, img, img_right)
@@ -352,6 +414,7 @@ class Tracker:
                         else:
                             self._initialize_stereo(frame)
                 else:
+                    self._sync_imu_from_map()
                     with T.stage("track"):
                         self._track_frame(frame)
         # trajectory log: store pose RELATIVE to the reference KF so later
@@ -369,6 +432,52 @@ class Tracker:
         return frame
 
     # ---------------------------------------------------------------- inertial
+    def _sync_imu_from_map(self):
+        """Async-mapping handshake (ref: Tracking::UpdateFrameIMU,
+        src/Tracking.cc:2993): when the mapping worker has advanced the map
+        (IMU init, VIBA, gravity align/rescale, loop correction — all bump
+        map_version), pull fresh bias/velocity state from the last KF
+        before tracking this frame. The marginalization prior and the
+        constant-velocity model are stale in the new frame."""
+        m = self.map
+        if (not self.use_imu or m.map_version == self.map_version_seen
+                or self.last_kf < 0 or not m.kf_valid[self.last_kf]):
+            return
+        self.bg = m.kf_bg[self.last_kf].copy()
+        self.ba = m.kf_ba[self.last_kf].copy()
+        self.prior = None
+        self.velocity = None
+        last = self.last_frame
+        if m.imu_initialized and last is not None and last.R is not None:
+            # the world frame may have been re-scaled/rotated: rebase the
+            # last frame's pose/velocity by IMU-predicting from the last
+            # KF's (transformed) state (ref Tracking.cc:3010-3040 —
+            # mLastFrame.SetImuPoseVelocity from mpLastKeyFrame + preint)
+            t0 = float(m.kf_time[self.last_kf])
+            if last.time > t0 + 1e-9:
+                from ..imu.preintegration import predict_state
+                from .inertial import preintegrate_window
+
+                pre, _ = preintegrate_window(
+                    self.imu_since_kf, t0, last.time, self.bg, self.ba,
+                    self.imu_calib)
+                if float(pre["dT"]) > 0:
+                    Rwb, p = self.imu_calib.body_from_cam(
+                        m.kf_R[self.last_kf], m.kf_t[self.last_kf])
+                    Rwb2, p2, v2 = predict_state(
+                        jnp.asarray(Rwb), jnp.asarray(p),
+                        jnp.asarray(m.kf_vel[self.last_kf]),
+                        jax.tree.map(
+                            lambda x: jnp.asarray(np.asarray(x, np.float64)),
+                            pre))
+                    last.R, last.t = self.imu_calib.cam_from_body(
+                        np.asarray(Rwb2), np.asarray(p2))
+                    last.v = np.asarray(v2)
+            else:
+                last.R = m.kf_R[self.last_kf].copy()
+                last.t = m.kf_t[self.last_kf].copy()
+                last.v = m.kf_vel[self.last_kf].copy()
+
     def _predict_imu(self, frame: Frame):
         """IMU dead-reckoning from the last frame's body state
         (ref: Tracking::PredictStateIMU Tracking.cc:669). Returns
@@ -520,6 +629,21 @@ class Tracker:
         enough features becomes a KF; map points spring from stereo depth."""
         if frame.feats.valid.sum() < self.cfg.tracking.min_stereo_init_features:
             return
+        if self.use_imu and self.sensor != "mono":
+            # stereo-inertial init needs measured acceleration beyond
+            # gravity — a static rig makes gravity/bias unobservable
+            # (ref Tracking.cc:1363-1368 'not enough acceleration').
+            # Divergence: the reference thresholds the norm of the
+            # preintegrated acceleration delta; here the std of |a| over
+            # the window serves the same purpose on raw samples.
+            if len(self.imu_since_kf) < 10:
+                return
+            a = np.asarray(self.imu_since_kf)[:, 4:7]
+            if np.std(np.linalg.norm(a, axis=1)) < 0.25:
+                from ..utils.verbose import print_mess
+                print_mess("[tracking] stereo-IMU init: not enough "
+                           "acceleration, waiting")
+                return
         m = self.map
         frame.R = np.eye(3)
         frame.t = np.zeros(3)
@@ -576,6 +700,82 @@ class Tracker:
         return n
 
     # ------------------------------------------------------------ fused path
+    def _flush_pipeline(self):
+        """Complete (or discard) the in-flight pipelined step so the
+        tracker state is consistent before a mode change/fallback."""
+        if self._pending is None:
+            return
+        pend_frame, out, min_req = self._pending
+        self._pending = None
+        with self.map.lock:
+            n_inl = self._fused.complete(out, pend_frame)
+            self.n_inliers = n_inl
+            self._finish_completed(pend_frame, n_inl, min_req)
+
+    def _finish_completed(self, frame: Frame, n_inl: int, min_req: int):
+        """Bookkeeping for a pipeline-completed frame: trajectory log,
+        state machine, KF decision (what the synchronous path does inline
+        in track())."""
+        if n_inl >= min_req:
+            self._post_track_ok(frame)
+        else:
+            self.state = State.RECENTLY_LOST
+            self.lost_since = frame.time
+        if frame.R is not None and self.ref_kf >= 0:
+            m = self.map
+            Rr, tr_ = m.kf_R[self.ref_kf], m.kf_t[self.ref_kf]
+            Rcr = frame.R @ Rr.T
+            tcr = frame.t - Rcr @ tr_
+            self.trajectory.append(
+                (frame.time, Rcr, tcr, self.ref_kf,
+                 self.state != State.OK))
+        self._last_completed = frame
+
+    def _track_fused_pipelined(self, frame: Frame, img, img_right):
+        """Pipelined fused tracking (cfg.tracking.pipelined): dispatch the
+        CURRENT frame's step against the device-resident pose chain, then
+        complete the PREVIOUS frame (its device->host copies streamed
+        while this frame's upload/dispatch went out). One frame of
+        latency; sustained throughput ~2x the synchronous mode through a
+        tunneled backend. Returns None when the pipeline can't run (caller
+        falls back to the synchronous/host path)."""
+        from .track_device import FusedTracker
+
+        if self._fused is None:
+            self._fused = FusedTracker(self)
+        ft = self._fused
+        self._last_completed = None
+        # local map vote from the last COMPLETED frame's matches
+        vote_frame = self.last_frame
+        if vote_frame is None or vote_frame.mp is None or \
+                vote_frame.R is None:
+            return None
+        if not ft.build_local_map(vote_frame.mp):
+            self._flush_pipeline()
+            return None
+        min_req = self.cfg.tracking.min_inliers_local \
+            if self.frames_since_kf > 0 else 15
+        if self._pending is not None:
+            pose_in = self._pending[1]["pose"]
+        else:
+            pose_in = np.concatenate([
+                np.asarray(self.last_frame.R, np.float32).ravel(),
+                np.asarray(self.last_frame.t, np.float32),
+                np.float32([0.0])])
+        out = ft.dispatch(img, img_right, pose_in, min_req)
+        pend = self._pending
+        self._pending = (frame, out, min_req)
+        if pend is not None:
+            pend_frame, pend_out, pend_req = pend
+            n_inl = ft.complete(pend_out, pend_frame)
+            self.n_inliers = n_inl
+            self._finish_completed(pend_frame, n_inl, pend_req)
+            if self.state != State.OK:
+                # the in-flight step rode a failed pose: discard it and
+                # let the host path retake over on the next frame
+                self._pending = None
+        return True
+
     def _track_fused(self, frame: Frame, img, img_right):
         """One-dispatch tracking via track_device.FusedTracker.
 
@@ -644,6 +844,30 @@ class Tracker:
                 R0, t0, v_pred = pred
             else:
                 R0, t0 = self.last_frame.R, self.last_frame.t
+            if self.only_tracking and self.vo_mode:
+                # riding VO points in an unmapped region: try to relocate
+                # into the map each frame, else keep dead-reckoning on
+                # temporary points (ref Tracking.cc:1027-1047)
+                ok = self._relocalize(frame)
+                if ok:
+                    self.vo_mode = False
+                else:
+                    ok = self._track_motion_model(frame, R0, t0)
+                    if ok:
+                        # still on VO points: no local map to track
+                        self.frames_since_kf += 1
+                        self.velocity = None
+                        return ok
+                if not ok:
+                    # reloc and VO motion model both failed
+                    self.state = State.RECENTLY_LOST
+                    self.lost_since = frame.time
+                    if frame.R is None and self.last_frame.R is not None:
+                        frame.R = self.last_frame.R.copy()
+                        frame.t = self.last_frame.t.copy()
+                    if frame.mp is None:
+                        frame.mp = np.full(frame.feats.n, -1, np.int32)
+                    return False
             # DESCRIPTOR-FIRST association (reference-KF match), with the
             # window-gated motion model as the fallback. The reference
             # prefers the motion model for CPU speed (Tracking.cc:980);
@@ -663,6 +887,13 @@ class Tracker:
             if not ok and pred is not None:
                 # IMU dead-reckoning while recently lost (ref :1017-1047)
                 frame.R, frame.t, frame.v = pred
+        if ok and self.only_tracking and self.vo_mode:
+            # the frame just slid onto VO points (motion-model fallback
+            # set vo_mode): skip local-map tracking, stay OK
+            # (ref: !mbVO gate before TrackLocalMap, Tracking.cc:1161)
+            self.frames_since_kf += 1
+            self.velocity = None
+            return ok
         if ok:
             ok = self._track_local_map(frame)
         if ok:
@@ -743,7 +974,10 @@ class Tracker:
     def _track_motion_model(self, frame: Frame, R0, t0):
         """ref: TrackWithMotionModel (Tracking.cc:1879) — project last
         frame's map points from the predicted pose (constant-velocity or
-        IMU prediction)."""
+        IMU prediction). In localization mode, stereo/RGB-D frames spawn
+        TEMPORARY visual-odometry points from the last frame's depth for
+        unmatched features (ref: UpdateLastFrame temporal points,
+        Tracking.cc:1249-1270) so tracking survives unmapped regions."""
         cfg = self.cfg.tracking
         last = self.last_frame
         last_mp = np.array(
@@ -751,10 +985,33 @@ class Tracker:
             np.int32,
         )
         sel = np.nonzero(last_mp >= 0)[0]
+        n_real = len(sel)
+        vo_X = np.zeros((0, 3))
+        if (self.only_tracking and self.sensor != "mono"
+                and last.feats.depth is not None and last.R is not None):
+            d = last.feats.depth
+            free = (last_mp < 0) & last.feats.valid & (d > 0)
+            cand = np.nonzero(free)[0]
+            if len(cand):
+                order = cand[np.argsort(d[cand])]
+                th = self.cfg.th_depth * (self.bf / self.camera.fx) \
+                    if self.bf > 0 else np.inf
+                close = order[d[order] < th][:100]
+                if len(close) < 20:  # spawn at least some (ref 100 cap)
+                    close = order[:100]
+                if len(close):
+                    nx = last.feats.norm_xy[close]
+                    zc = d[close]
+                    Xc = np.stack([nx[:, 0] * zc, nx[:, 1] * zc, zc], 1)
+                    Rwc = last.R.T
+                    vo_X = Xc @ Rwc.T + (-Rwc @ last.t)[None]
+                    sel = np.concatenate([sel, close])
         if len(sel) < 10:
             return False
-        mp_ids = last_mp[sel]
-        uv, z, _ = self._project(R0, t0, self.map.mp_pos[mp_ids])
+        mp_ids = last_mp[sel]  # -1 rows are VO points
+        Xall = np.concatenate(
+            [self.map.mp_pos[last_mp[sel[:n_real]]], vo_X], 0)
+        uv, z, _ = self._project(R0, t0, Xall)
         radius = (
             cfg.motion_model_radius * self.sf[last.feats.octave[sel]]
         )
@@ -774,13 +1031,24 @@ class Tracker:
         if (midx >= 0).sum() < cfg.min_matches_motion:
             return False
         frame.mp = np.full(frame.feats.n, -1, np.int32)
-        ok = midx >= 0
-        frame.mp[midx[ok]] = mp_ids[ok]
-        Rf, tf, inl, osel = self._pose_opt(R0, t0, frame, frame.mp)
+        rows = np.nonzero(midx >= 0)[0]
+        real = rows[mp_ids[rows] >= 0]
+        frame.mp[midx[real]] = mp_ids[real]
+        # per-feature positions: map points AND temporary VO points
+        X_feat = np.zeros((frame.feats.n, 3))
+        vmask = np.zeros(frame.feats.n, bool)
+        X_feat[midx[rows]] = Xall[rows]
+        vmask[midx[rows]] = True
+        Rf, tf, inl, osel = self._pose_opt(
+            R0, t0, frame, frame.mp, X_by_feat=X_feat, valid_by_feat=vmask)
         frame.R, frame.t = Rf, tf
         # drop outlier matches
         frame.mp[osel[~inl]] = -1
         self.n_inliers = int(inl.sum())
+        if self.only_tracking:
+            # ref: mbVO = few MAP matches — the frame rides VO points
+            inl_map = int((frame.mp[osel[inl]] >= 0).sum())
+            self.vo_mode = inl_map < 10
         return self.n_inliers >= cfg.min_inliers_motion
 
     def _track_reference_kf(self, frame: Frame, R0=None, t0=None):
@@ -1015,6 +1283,8 @@ class Tracker:
         m.mp_found[inlier_ids] += 1
         frame.mp[osel[~inl]] = -1
         self.n_inliers = int(inl.sum())
+        if self.n_inliers >= min_req and self.only_tracking:
+            self.vo_mode = False  # back on the map (ref mbVO=false)
         return self.n_inliers >= min_req
 
     # -------------------------------------------------------------- keyframes
@@ -1052,12 +1322,21 @@ class Tracker:
         return (c1a or (c1b and c2)) and self.n_inliers > cfg.min_kf_inliers
 
     def _create_keyframe(self, frame: Frame):
+        from ..utils.timing import GLOBAL_TIMER as T
+
         m = self.map
         from .track_device import DeviceFeatures
         if isinstance(frame.feats, DeviceFeatures):
             # KF features live in the host map store (matching, BoW,
             # triangulation all read them) — materialize once here
-            frame.feats = frame.feats.materialize()
+            with T.stage("kf.materialize"):
+                frame.feats = frame.feats.materialize()
+        with T.stage("kf.create"):
+            kf = self._create_keyframe_inner(frame)
+        return kf
+
+    def _create_keyframe_inner(self, frame: Frame):
+        m = self.map
         kf = m.add_keyframe(
             frame.R, frame.t, frame.feats, frame.time, frame.frame_id,
             mp_assign=frame.mp,

@@ -236,12 +236,16 @@ class Trajectory:
         return Rcw, -Rcw @ p
 
 
-def render(planes, Rcw, tcw, height, width, fx, fy, cx, cy, camera=None):
+def render(planes, Rcw, tcw, height, width, fx, fy, cx, cy, camera=None,
+           return_depth=False):
     """Exact ray-cast of the textured room -> [H,W] f32 image.
 
     camera=None: perspective (pinhole) rays from fx/fy/cx/cy. Otherwise
     any CameraModel (e.g. KannalaBrandt8): rays from camera.unproject on
-    the pixel grid — exact fisheye rendering."""
+    the pixel grid — exact fisheye rendering.
+    return_depth: also return the exact per-pixel camera-frame z (the
+    ray parameter t equals z for z-normalized rays; 0 = no hit) — serves
+    the RGB-D path like a depth sensor would (ref: rgbd_tum driver)."""
     ys, xs = np.mgrid[0:height, 0:width]
     if camera is not None:
         uv = np.stack([xs, ys], -1).astype(np.float64).reshape(-1, 2)
@@ -287,6 +291,12 @@ def render(planes, Rcw, tcw, height, width, fx, fy, cx, cy, camera=None):
         )
         img = np.where(inside, val, img)
         best_t = np.where(inside, t, best_t)
+    if return_depth:
+        # rays are z-normalized (rays_c[...,2] == 1 for pinhole), so the
+        # hit parameter IS the camera-frame depth; no-hit pixels -> 0
+        z = best_t * rays_c[..., 2]
+        z = np.where(np.isfinite(best_t), z, 0.0).astype(np.float32)
+        return img, z
     return img
 
 
@@ -356,6 +366,17 @@ class SyntheticSequence:
         return render(
             self.planes, Rcw, tcw, self.height, self.width,
             self.fx, self.fy, self.cx, self.cy, camera=cam,
+        )
+
+    def frame_rgbd(self, i):
+        """(image, depth) pair for the RGB-D path — depth is the exact
+        per-pixel camera z (like a perfect depth sensor)."""
+        t = i / self.fps
+        Rcw, tcw = self.traj.pose_cw(t)
+        return render(
+            self.planes, Rcw, tcw, self.height, self.width,
+            self.fx, self.fy, self.cx, self.cy, camera=self.camera,
+            return_depth=True,
         )
 
     def imu_between(self, t0, t1):

@@ -115,6 +115,10 @@ class SlamMap:
         self.imu_initialized = False
         self.inertial_ba1 = False
         self.inertial_ba2 = False
+        # IMU sanity flag (ref: LocalMapping::mbBadImu LocalMapping.cc:138
+        # -145): set by a degenerate IMU init, consumed by the tracker as
+        # an active-map reset request
+        self.bad_imu = False
         self.map_version = 0  # bumped on frame-changing ops (gravity align)
         # Atlas (multi-map): maps are LABELS over one SoA store — a new map
         # on tracking loss is a label bump; a merge is a Sim3 correction +
@@ -130,6 +134,7 @@ class SlamMap:
         self.imu_initialized = False
         self.inertial_ba1 = False
         self.inertial_ba2 = False
+        self.bad_imu = False
         self.map_version += 1
         return self.current_map_id
 
@@ -303,6 +308,64 @@ class SlamMap:
         sf = self.scale_factors[level]
         self.mp_max_dist[mp] = dist * sf
         self.mp_min_dist[mp] = self.mp_max_dist[mp] / self.scale_factors[-1]
+
+    def update_point_stats_batch(self, mp_ids):
+        """Vectorized update_point_stats over many points (the per-KF
+        ProcessNewKeyFrame / fuse stat refresh touches hundreds of points;
+        per-point numpy calls cost ~0.5 ms each on a small host — batched,
+        the whole set is a handful of array ops)."""
+        mp_ids = [int(j) for j in mp_ids
+                  if j >= 0 and self.mp_valid[j] and self.mp_obs[j]]
+        if not mp_ids:
+            return
+        kmax = max(len(self.mp_obs[j]) for j in mp_ids)
+        P = len(mp_ids)
+        descs = np.zeros((P, kmax, 256), np.uint8)
+        centers = np.zeros((P, kmax, 3))
+        nobs = np.zeros(P, np.int32)
+        ref_dist = np.zeros(P)
+        ref_level = np.zeros(P, np.int32)
+        for i, j in enumerate(mp_ids):
+            obs = self.mp_obs[j]
+            nobs[i] = len(obs)
+            for o, (kf, slot) in enumerate(obs.items()):
+                descs[i, o] = self.kf_feats[kf].bits[slot]
+                centers[i, o] = -self.kf_R[kf].T @ self.kf_t[kf]
+            ref_kf = self.mp_first_kf[j]
+            if ref_kf not in obs:
+                ref_kf = next(iter(obs))
+            slot = obs[ref_kf]
+            Ow = -self.kf_R[ref_kf].T @ self.kf_t[ref_kf]
+            ref_dist[i] = np.linalg.norm(self.mp_pos[j] - Ow)
+            ref_level[i] = self.kf_feats[ref_kf].octave[slot]
+        # distinctive descriptor: min median pairwise Hamming, masked
+        d = (descs[:, :, None, :] != descs[:, None, :, :]).sum(-1)
+        col = np.arange(kmax)
+        valid = col[None, :] < nobs[:, None]
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        d = np.where(pair_ok, d, 0)
+        # median over the valid columns only: sort with invalid -> +inf
+        dm = np.where(pair_ok, d, np.inf)
+        dm.sort(axis=2)
+        med_idx = np.maximum(nobs - 1, 0) // 2
+        med = np.take_along_axis(
+            dm, med_idx[:, None, None].repeat(kmax, 1), 2)[:, :, 0]
+        med = np.where(valid, med, np.inf)
+        best = np.argmin(med, axis=1)
+        ids_arr = np.asarray(mp_ids)
+        self.mp_bits[ids_arr] = descs[np.arange(P), best]
+        # viewing normal: mean of unit directions
+        v = self.mp_pos[ids_arr][:, None, :] - centers
+        n = np.linalg.norm(v, axis=2, keepdims=True)
+        u = np.where((n > 1e-9) & valid[:, :, None], v / np.maximum(n, 1e-9),
+                     0.0)
+        nm = u.sum(1) / np.maximum(nobs[:, None], 1)
+        nn = np.linalg.norm(nm, axis=1, keepdims=True)
+        self.mp_normal[ids_arr] = np.where(nn > 1e-9, nm / np.maximum(nn, 1e-9),
+                                           nm)
+        sf = self.scale_factors[ref_level]
+        self.mp_max_dist[ids_arr] = ref_dist * sf
+        self.mp_min_dist[ids_arr] = (ref_dist * sf) / self.scale_factors[-1]
 
     def predict_scale(self, dists, mp_ids):
         """Predicted pyramid level from viewing distance

@@ -267,20 +267,29 @@ class OrbExtractor:
       packed [N,8] u32.   N == cfg.n_features.
     """
 
+    # compiled programs shared across instances (a new System must not
+    # recompile extraction: the programs depend only on (H, W, config))
+    _CACHE: dict = {}
+
     def __init__(self, height: int, width: int, cfg: OrbConfig | None = None):
         self.cfg = cfg or OrbConfig()
         self.height, self.width = height, width
-        self._fn = jax.jit(
-            functools.partial(_extract_impl, cfg=self.cfg),
-            static_argnames=(),
-        )
-        # batched variant: both stereo images in ONE dispatch (replaces the
-        # reference's L/R extraction thread pair, src/Frame.cc:109-112 —
-        # on TPU the batch dimension parallelizes instead of threads)
-        def _impl(img, ini_th, min_th):
-            return _extract_impl(img, self.cfg, ini_th, min_th)
+        key = (height, width, dataclasses.astuple(self.cfg))
+        if key not in OrbExtractor._CACHE:
+            cfg_ = self.cfg
 
-        self._fn_batch = jax.jit(jax.vmap(_impl, in_axes=(0, None, None)))
+            def _impl(img, ini_th, min_th):
+                return _extract_impl(img, cfg_, ini_th, min_th)
+
+            # batched variant: both stereo images in ONE dispatch
+            # (replaces the reference's L/R extraction thread pair,
+            # src/Frame.cc:109-112 — on TPU the batch dimension
+            # parallelizes instead of threads)
+            OrbExtractor._CACHE[key] = (
+                jax.jit(functools.partial(_extract_impl, cfg=cfg_)),
+                jax.jit(jax.vmap(_impl, in_axes=(0, None, None))),
+            )
+        self._fn, self._fn_batch = OrbExtractor._CACHE[key]
 
     def __call__(self, img, ini_th=None, min_th=None) -> dict[str, Any]:
         assert img.shape == (self.height, self.width)

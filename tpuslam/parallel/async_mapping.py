@@ -54,9 +54,13 @@ class AsyncMapper:
             except queue.Empty:
                 continue
             try:
-                with self.lock:
-                    self.lm.on_new_keyframe(kf)
-                    if self.loop_closer is not None:
+                # stage-level locking: the mapper acquires the map lock
+                # per pipeline stage so tracking's short per-frame lock
+                # takes interleave with mapping instead of stalling for
+                # the whole step
+                self.lm.on_new_keyframe(kf, lock=self.lock)
+                if self.loop_closer is not None:
+                    with self.lock:
                         self.loop_closer.on_new_keyframe(kf)
             except Exception as exc:
                 # surface IMMEDIATELY (a silently dead mapper looks like
