@@ -22,6 +22,9 @@ CX = CY = 200.0
 class _Cam:
     fx, fy, cx, cy = FX, FY, CX, CY
     width, height = 400, 400
+    # the engine's solvers are camera-generic since the KB8 work: they
+    # take the static CamSpec from camera.spec (solve/reproj.py)
+    from tpuslam.solve.reproj import PINHOLE as spec
 
 
 def _build_map(rng, K=8, P=60, fps=4.0):
