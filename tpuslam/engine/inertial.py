@@ -22,6 +22,12 @@ from ..solve.ba import build_obs_pairs
 from ..solve.inertial_ba import vi_ba_solve
 from ..utils.pad import bucket, pad_to
 
+# route full/window inertial BA through the obs-sharded distributed solver
+# (parallel/dist_ba.dist_viba_solve) when >1 device is visible AND the
+# visual part has at least this many observations — below it the sharding
+# overhead dominates (tests force 0 to exercise the path)
+DIST_VIBA_MIN_OBS = 20_000
+
 
 def preintegrate_window(samples, t0: float, t1: float, bg, ba,
                         calib: ImuCalib):
@@ -346,20 +352,43 @@ def window_inertial_ba(m, camera, calib: ImuCalib, inv_sigma2, opt_kfs,
         rw_a[i] = e["rw_a"]
         bg0[idx[e["a"]]] = e["bg0"]
         ba0[idx[e["a"]]] = e["ba0"]
-    out = vi_ba_solve(
-        jnp.asarray(Rwb), jnp.asarray(p), jnp.asarray(v),
-        jnp.asarray(bg), jnp.asarray(ba), jnp.asarray(X),
-        jnp.asarray(obs_kf_a), jnp.asarray(obs_pt_a), jnp.asarray(uvr_a),
-        jnp.asarray(inv_s2_a), jnp.zeros(Ob, bool), jnp.asarray(valid_a),
-        jnp.asarray(ea), jnp.asarray(eb), pre_stack, jnp.asarray(info9),
-        jnp.asarray(bg0), jnp.asarray(ba0),
-        jnp.asarray(fixed), jnp.asarray(pair_a_a), jnp.asarray(pair_b_a),
-        camera.fx, camera.fy, camera.cx, camera.cy, 0.0,
-        jnp.asarray(rw_g), jnp.asarray(rw_a),
-        jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
-        prior_g=prior_g, prior_a=prior_a, n_iters=n_iters,
-        cam=camera.spec,
-    )
+    # route large problems to the DISTRIBUTED FullInertialBA when more
+    # than one device is visible (ref Optimizer.cc:420 is what GBA runs
+    # on inertial maps, LoopClosing.cc:2437-2440; here the visual blocks
+    # shard over the mesh and the chain is replicated —
+    # parallel/dist_ba.make_dist_viba_step)
+    use_dist = (len(jax.devices()) > 1 and O >= DIST_VIBA_MIN_OBS)
+    if use_dist:
+        from jax.sharding import Mesh
+        from ..parallel.dist_ba import dist_viba_solve
+
+        mesh = Mesh(np.array(jax.devices()), ("obs",))
+        out = dist_viba_solve(
+            mesh, Rwb, p, v, bg, ba, np.asarray(X),
+            obs_kf_a, obs_pt_a, uvr_a, inv_s2_a,
+            np.zeros(Ob, bool), valid_a,
+            ea[:Eb], eb[:Eb],
+            jax.tree.map(np.asarray, dict(pre_stack)), info9, bg0, ba0,
+            rw_g, rw_a, fixed,
+            camera.fx, camera.fy, camera.cx, camera.cy, 0.0,
+            calib.Rcb, calib.tcb, prior_g=prior_g, prior_a=prior_a,
+            n_iters=n_iters, cam=camera.spec,
+        )
+    else:
+        out = vi_ba_solve(
+            jnp.asarray(Rwb), jnp.asarray(p), jnp.asarray(v),
+            jnp.asarray(bg), jnp.asarray(ba), jnp.asarray(X),
+            jnp.asarray(obs_kf_a), jnp.asarray(obs_pt_a), jnp.asarray(uvr_a),
+            jnp.asarray(inv_s2_a), jnp.zeros(Ob, bool), jnp.asarray(valid_a),
+            jnp.asarray(ea), jnp.asarray(eb), pre_stack, jnp.asarray(info9),
+            jnp.asarray(bg0), jnp.asarray(ba0),
+            jnp.asarray(fixed), jnp.asarray(pair_a_a), jnp.asarray(pair_b_a),
+            camera.fx, camera.fy, camera.cx, camera.cy, 0.0,
+            jnp.asarray(rw_g), jnp.asarray(rw_a),
+            jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
+            prior_g=prior_g, prior_a=prior_a, n_iters=n_iters,
+            cam=camera.spec,
+        )
     Rf, pf, vf, bgf, baf, Xf = [np.asarray(x) for x in out[:6]]
     if not np.isfinite(out[6]):
         return

@@ -126,3 +126,106 @@ def pcg_solve(b, Hpp_d, Hll_inv, Wo, obs_kf, obs_pt, free6,
 
     _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
     return x
+
+
+# --------------------------------------------------------------------------
+# 15-dim visual-inertial reduced system (distributed FullInertialBA)
+# --------------------------------------------------------------------------
+
+
+def _inv_blocks(A):
+    """Batched [K,D,D] SPD inverse via Cholesky."""
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    L = jax.scipy.linalg.cholesky(A, lower=True)
+    return jax.scipy.linalg.cho_solve((L, True), eye)
+
+
+def vi_matvec(x, Hdiag, Hoff, edges_a, edges_b, Hll_inv, Wo, obs_kf,
+              obs_pt, psum=None):
+    """(S x) for the 15-dim VI reduced system: block-diagonal [K,15,15]
+    (visual pose blocks + inertial/RW/prior diagonals + damping) plus the
+    inertial chain off-diagonals Hoff [E,15,15] (block a->b; the
+    transpose couples b->a), MINUS the visually-marginalized landmark
+    term acting on the pose 6-dims (ref: FullInertialBA's BlockSolverX
+    system, Optimizer.cc:430 — here matrix-free)."""
+    K = Hdiag.shape[0]
+    P = Hll_inv.shape[0]
+    dtype = x.dtype
+    out = jnp.einsum("kij,kj->ki", Hdiag, x)
+    out = out.at[edges_a].add(jnp.einsum("eij,ej->ei", Hoff, x[edges_b]))
+    out = out.at[edges_b].add(
+        jnp.einsum("eji,ej->ei", Hoff, x[edges_a]))
+    # visual landmark marginalization on the pose 6-dof sub-block
+    v6 = x[:, :6]
+    y = jnp.zeros((P, 3), dtype).at[obs_pt].add(
+        jnp.einsum("oij,oi->oj", Wo, v6[obs_kf]))
+    if psum is not None:
+        y = psum(y)
+    z = jnp.einsum("pij,pj->pi", Hll_inv, y)
+    o6 = jnp.zeros((K, 6), dtype).at[obs_kf].add(
+        jnp.einsum("oij,oj->oi", Wo, z[obs_pt]))
+    if psum is not None:
+        o6 = psum(o6)
+    return out.at[:, :6].add(-o6)
+
+
+def pcg_solve_vi(b, Hdiag, Hoff, edges_a, edges_b, Hll_inv, Wo, obs_kf,
+                 obs_pt, free, n_iters: int = 100, tol: float = 1e-12,
+                 psum=None):
+    """Block-Jacobi PCG on the 15-dim VI reduced system. b/free [K,15].
+
+    The tolerance is TIGHT by default: the VI system's weakly-observable
+    scale/bias valley converges last in CG, and a loosely-truncated step
+    walks the LM path to a different (near-zero-cost but wrong) point in
+    the valley — measured: tol 1e-8 left poses 3 cm off the single-chip
+    solution; tol 1e-14 reproduces it to 5e-7."""
+    dtype = b.dtype
+    D = Hdiag  # diag blocks already include damping
+    # subtract the visual Schur diagonal for the preconditioner
+    M6 = jnp.einsum("oij,ojk,olk->oil", Wo, Hll_inv[obs_pt], Wo)
+    D6 = jnp.zeros((Hdiag.shape[0], 6, 6), dtype).at[obs_kf].add(M6)
+    if psum is not None:
+        D6 = psum(D6)
+    D = D.at[:, :6, :6].add(-D6)
+    fmask = free.astype(dtype)
+    eyeD = jnp.eye(b.shape[1], dtype=dtype)
+    D = D * fmask[:, :, None] * fmask[:, None, :] + \
+        eyeD * (1.0 - fmask)[:, None, :] * eyeD
+    D = D + 1e-9 * eyeD
+    Dinv = _inv_blocks(D)
+    b = b * fmask
+
+    def A(v):
+        v = v * fmask
+        return vi_matvec(v, Hdiag, Hoff, edges_a, edges_b, Hll_inv, Wo,
+                         obs_kf, obs_pt, psum=psum) * fmask
+
+    def M(r):
+        return jnp.einsum("kij,kj->ki", Dinv, r) * fmask
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    bnorm = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def body(carry):
+        i, x, r, p, rz = carry
+        Ap = A(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new
+
+    def cond(carry):
+        i, x, r, p, rz = carry
+        return (i < n_iters) & (jnp.sum(r * r) > tol * bnorm)
+
+    _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
+    return x
