@@ -44,6 +44,51 @@ HEALTH_MS = 50.0  # per-frame above this = degraded tunnel, retry
 N_RETRY = 8
 
 
+def _kernel_chain():
+    """The round-3 kernel chain (extract -> match -> pose LM) with a
+    pose-carry signature; `__graft_entry__.entry()` now exposes the full
+    fused System step instead, so the chain lives here."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tpuslam.ops.orb import OrbConfig, _extract_impl
+    from tpuslam.ops.hamming import hamming_matrix
+    from tpuslam.ops.match import masked_best2, resolve_duplicates
+    from tpuslam.solve.pose_opt_dispatch import pose_optimize_best as pose_optimize
+
+    H, W = 480, 752
+    N = 1024
+    cfg = OrbConfig(n_features=N)
+    FX = FY = 458.0
+    CX, CY = W / 2.0, H / 2.0
+
+    def forward(img, prev_bits, prev_X, R0, t0):
+        feats = _extract_impl(img, cfg, 20.0, 7.0)
+        mask = feats["valid"][:, None] & jnp.ones((1, prev_bits.shape[0]), bool)
+        dist = hamming_matrix(feats["bits"], prev_bits)
+        idx, best, second = masked_best2(dist, mask)
+        good = (best <= 50) & (best.astype(jnp.float32) < 0.9 * second)
+        idx, good = resolve_duplicates(idx, best, good, prev_bits.shape[0])
+        X = prev_X[jnp.clip(idx, 0, prev_X.shape[0] - 1)]
+        uvr = jnp.concatenate(
+            [feats["xy"], jnp.zeros((N, 1), feats["xy"].dtype)], axis=-1
+        )
+        R, t, inliers, _ = pose_optimize(
+            R0, t0, X, uvr, jnp.ones(N, feats["xy"].dtype),
+            jnp.zeros(N, bool), good, FX, FY, CX, CY, 0.0,
+        )
+        return R, t, jnp.sum(inliers)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(H, W).astype(np.float32) * 255.0)
+    prev_bits = jnp.asarray((rng.rand(N, 256) > 0.5).astype(np.uint8))
+    prev_X = jnp.asarray(
+        np.stack([rng.randn(N), rng.randn(N), rng.rand(N) * 4 + 2], -1).astype(np.float32)
+    )
+    R0 = jnp.eye(3, dtype=jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+    return forward, (img, prev_bits, prev_X, R0, t0)
+
+
 def build(forward, args):
     import jax
     import jax.numpy as jnp
@@ -95,7 +140,7 @@ def chain_time(fj, img, prev_bits, prev_X, R0, t0_, n):
 def main():
     import numpy as np
 
-    forward, args = __import__("__graft_entry__").entry()
+    forward, args = _kernel_chain()
     fj, img, prev_bits, prev_X, R0, t0_ = build(forward, args)
 
     # compile + warm (fetch so compile/queue effects drain fully)
