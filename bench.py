@@ -98,7 +98,7 @@ def main():
         time.sleep(25)
 
     best = None
-    for _ in range(2):
+    for _ in range(3):
         per, slam = run_system(cam, cfg, frames, times, bf)
         # tracked to the end, real map built?
         from tpuslam.engine.tracking import State
