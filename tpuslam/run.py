@@ -41,6 +41,12 @@ def build_argparser():
     p.add_argument("--checkpoint", default="",
                    help="save a map snapshot here at the end")
     p.add_argument("--timing", action="store_true")
+    p.add_argument("--async-mapping", action="store_true",
+                   help="run LocalMapping/LoopClosing on the worker "
+                        "thread (the reference's thread architecture)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="pipelined fused tracking: one frame of latency, "
+                        "~2x sustained throughput on tunneled backends")
     return p
 
 
@@ -85,11 +91,13 @@ def main(argv=None):
         else:
             from .place.store import load_vocabulary
             vocab = load_vocabulary(args.vocab)
+    if args.pipelined:
+        st.cfg.tracking.pipelined = True
     slam = System(st.camera, st.cfg, sensor=sensor,
                   imu_calib=st.imu_calib if "imu" in args.sensor else None,
                   vocab=vocab, bf=st.bf,
                   camera2=st.camera2 if "stereo" in args.sensor else None,
-                  Tlr=st.Tlr)
+                  Tlr=st.Tlr, async_mapping=args.async_mapping)
 
     rectifier = st.make_rectifier() if "stereo" in args.sensor else None
     times_ms = []
@@ -124,6 +132,11 @@ def main(argv=None):
                 print(f"[seq{s_i} {i}/{n}] median frame "
                       f"{np.median(times_ms[-50:]):.1f} ms", file=sys.stderr)
     n = n_total
+    # settle the tracking pipeline, drain the mapping queue, join GBA
+    # (ref: System::Shutdown before the trajectory savers, main.cpp)
+    if slam.async_mapper is not None:
+        slam.async_mapper.flush(raise_errors=False)
+    slam.shutdown()
 
     writer = {"tum": slam.save_trajectory_tum,
               "euroc": slam.save_trajectory_euroc,
