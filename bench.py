@@ -83,10 +83,13 @@ def main():
     seq, cam, cfg, frames, times = build()
     bf = seq.fx * seq.baseline
 
-    # warm pass: compiles every bucketed program (extract pair, fused step,
-    # mapping solvers); also acts as the tunnel health probe
+    # warm pass over the FULL sequence: compiles every bucketed program the
+    # run will hit (extract pair, fused step, every mapping-solver shape
+    # bucket the map reaches by frame 120 — a short warm pass left mid-run
+    # multi-second tunnel compiles inside the timed window); also acts as
+    # the tunnel health probe
     for attempt in range(N_RETRY):
-        per, slam = run_system(cam, cfg, frames[:24], times[:24], bf)
+        per, slam = run_system(cam, cfg, frames, times, bf)
         slam.shutdown()
         steady = per[WARM_FRAMES:]
         if np.median(steady) * 1e3 < HEALTH_MS:
@@ -97,8 +100,9 @@ def main():
             file=sys.stderr, flush=True)
         time.sleep(25)
 
-    best = None
-    for _ in range(3):
+    passes = []
+    retries = 3
+    while len(passes) < 3:
         per, slam = run_system(cam, cfg, frames, times, bf)
         # tracked to the end, real map built?
         from tpuslam.engine.tracking import State
@@ -116,15 +120,30 @@ def main():
             mps=int(slam.map.mp_valid[: slam.map.n_mp].sum()),
         )
         print(f"bench pass: {stats}", file=sys.stderr, flush=True)
-        if best is None or fps > best["fps"]:
-            best = stats
+        # tunnel-degradation guard, pass-level (same rationale as the warm
+        # probe): a pass whose MEAN is >2x its MEDIAN lost its time to a
+        # few multi-second remote-tunnel stalls, not to the system under
+        # test — re-run it once the tunnel recovers (bounded retries; if
+        # they run out the degraded pass counts)
+        mean_ms = float(steady.mean() * 1e3)
+        if mean_ms > 2.0 * stats["median_ms"] and retries > 0:
+            retries -= 1
+            print(f"bench: stall-dominated pass (mean {mean_ms:.0f} ms vs "
+                  f"median {stats['median_ms']:.0f} ms), retrying",
+                  file=sys.stderr, flush=True)
+            time.sleep(20)
+            continue
+        passes.append(stats)
+    # headline = MEDIAN-of-3 (VERDICT r4: best-of-3 masked slow passes)
+    med = sorted(passes, key=lambda s: s["fps"])[len(passes) // 2]
+    print(f"bench median pass: {med}", file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
                 "metric": "system_track_stereo_fps_752x480_1024feat",
-                "value": round(best["fps"], 2),
+                "value": round(med["fps"], 2),
                 "unit": "frames/s",
-                "vs_baseline": round(best["fps"] / 20.0, 3),
+                "vs_baseline": round(med["fps"] / 20.0, 3),
             }
         )
     )

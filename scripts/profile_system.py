@@ -24,6 +24,8 @@ p.add_argument("--repeat", type=int, default=1,
                help="re-run the tracking loop (warm jit) this many times")
 p.add_argument("--async-mapping", action="store_true",
                help="run local mapping on the worker thread (bench config)")
+p.add_argument("--pipelined", action="store_true",
+               help="run the 1-frame pipelined fused mode (bench config)")
 p.add_argument("--no-fused", action="store_true",
                help="disable the fused on-device tracking step")
 args = p.parse_args()
@@ -49,7 +51,8 @@ seq = SyntheticSequence(n_frames=args.frames, fps=20, speed=0.5, baseline=0.1)
 cam = Pinhole([seq.fx, seq.fy, seq.cx, seq.cy], seq.width, seq.height)
 cfg = SlamConfig(
     orb=OrbConfig(n_features=args.features),
-    tracking=TrackingConfig(min_stereo_init_features=200),
+    tracking=TrackingConfig(min_stereo_init_features=200,
+                            pipelined=args.pipelined),
 )
 bf = seq.fx * seq.baseline
 times = seq.timestamps()
@@ -68,6 +71,8 @@ for rep in range(args.repeat):
         f0 = time.perf_counter()
         slam.track_stereo(frames[i][0], frames[i][1], times[i])
         per_frame.append(time.perf_counter() - f0)
+    if args.pipelined:
+        slam.tracker._flush_pipeline()
     dt = time.perf_counter() - t0
     if args.async_mapping:
         slam.async_mapper.flush(raise_errors=True)

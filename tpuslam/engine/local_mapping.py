@@ -45,6 +45,18 @@ class LocalMapper:
         # debug-dump records (ref: System::SaveDebugData IMU-init internals,
         # System.cc:836-889): (event, t, n_kfs, bg, ba)
         self.debug_events: list[dict] = []
+        self._devk = None
+
+    @property
+    def devk(self):
+        """Device-side fuse/triangulation kernels + KF feature cache
+        (map_device.py), built lazily on first keyframe."""
+        if self._devk is None:
+            from .map_device import MapDeviceKernels
+            self._devk = MapDeviceKernels(
+                self.camera, self.sf, self.cfg.mapping.fuse_radius,
+                len(self.sf))
+        return self._devk
 
     def _record(self, event: str, t_now: float):
         from ..utils.verbose import Level, print_mess
@@ -85,12 +97,17 @@ class LocalMapper:
         if m.n_kf >= 2:
             with T.stage("triangulate"):
                 self._create_new_points(kf, hold=hold)
-            with T.stage("fuse"), hold():
-                self._fuse_neighbors(kf)
+            with T.stage("fuse"):
+                self._fuse_neighbors(kf, hold=hold)
             with T.stage("local_ba"):
-                if m.imu_initialized:
-                    with hold():
-                        self._local_inertial_ba(kf)
+                # reference interrupt discipline (LocalMapping::Run
+                # :103,283: local BA runs only when no newer KF waits in
+                # the queue — the last KF of a drain always gets it, so
+                # BA is deferred under backlog, never starved)
+                if self.abort_check is not None and self.abort_check():
+                    pass
+                elif m.imu_initialized:
+                    self._local_inertial_ba(kf, hold=hold)
                 else:
                     self._local_ba(kf, hold=hold)
             with T.stage("kf_culling"), hold():
@@ -154,9 +171,13 @@ class LocalMapper:
             if self.mono:
                 run_imu_init(m, self.imu_calib, mono=True, opt_bias=False)
 
-    def _local_inertial_ba(self, kf: int):
+    def _local_inertial_ba(self, kf: int, hold=None):
+        import contextlib
+
         from .inertial import local_inertial_ba
 
+        if hold is None:
+            hold = lambda: contextlib.nullcontext()
         # until VIBA2 declares biases converged, keep zero-mean priors on:
         # with gentle motion a free accel bias absorbs the scale/gravity
         # signal (ref keeps priorA=1e5 until the 15s FIBA, LocalMapping.cc)
@@ -165,7 +186,7 @@ class LocalMapper:
             icfg.prior_g2, icfg.prior_a2)
         local_inertial_ba(
             self.map, kf, self.camera, self.imu_calib, self.inv_sigma2,
-            window=icfg.local_window, prior_g=pg, prior_a=pa)
+            window=icfg.local_window, prior_g=pg, prior_a=pa, hold=hold)
 
     # ------------------------------------------------------------- culling
     def _cull_recent_points(self, kf: int):
@@ -220,6 +241,8 @@ class LocalMapper:
 
     def _erase_keyframe(self, cand: int):
         m = self.map
+        if self._devk is not None:
+            self._devk.cache.drop(cand)
         if getattr(self, "loop_closer", None) is not None:
             self.loop_closer.on_kf_erased(cand)
         for slot in np.nonzero(m.kf_mp[cand] >= 0)[0]:
@@ -256,18 +279,20 @@ class LocalMapper:
     def _create_new_points(self, kf: int, hold=None):
         """ref: CreateNewMapPoints (LocalMapping.cc:383).
 
-        TPU-shaped: ALL neighbors' candidate matches go through ONE masked
-        matcher dispatch (columns = concatenated neighbor features, masks
-        block-built on host), and the per-match two-view triangulation +
-        gates run in vectorized numpy — the serial per-neighbor loop cost
-        ~3 device round trips x 20 neighbors through a tunneled backend.
-        One-to-one resolution across the concatenated columns gives each
-        new feature its single best triangulation partner over the whole
-        neighborhood (the serial reference lets the first neighbor claim,
+        TPU-shaped: ALL neighbors' candidate matches go through ONE device
+        dispatch (map_device.make_tri_kernel) — the epipolar masks are
+        computed ON DEVICE from per-neighbor fundamental/essential
+        matrices against the device-cached KF features (the round-4 host
+        version shipped the dense [N, T*N] mask per call, megabytes
+        through a bandwidth-limited tunnel); the per-match two-view
+        triangulation + gates run in vectorized numpy. One-to-one
+        resolution across the concatenated columns gives each new feature
+        its single best triangulation partner over the whole neighborhood
+        (the serial reference lets the first neighbor claim,
         ORBmatcher::SearchForTriangulation per pair).
 
         hold: optional lock-context factory (async worker) — the map lock
-        is held for the READ/mask-build and the INSERT sections only; the
+        is held for the READ/snapshot and the INSERT sections only; the
         device match and the host SVD/gates run lock-free on the snapshot
         (the reference likewise searches/triangulates without
         mMutexMapUpdate and mutates under per-object mutexes)."""
@@ -278,73 +303,62 @@ class LocalMapper:
         m = self.map
         cfg = self.cfg.mapping
         cam = self.camera
+        kb8 = self.camspec.kind == "kb8"
+        Fms, free2_l, sig2_l, used = [], [], [], []
+        pose_snap = {}
         with hold():
             neighbors = m.best_covisible(kf, cfg.n_triangulate_neighbors)
             R1, t1 = m.kf_R[kf].copy(), m.kf_t[kf].copy()
             O1 = m.kf_center(kf)
             f1 = m.kf_feats[kf]
             free1 = (m.kf_mp[kf] < 0) & f1.valid
-        sel1 = np.nonzero(free1)[0]  # mask rows only for FREE features
-        if len(sel1) == 0:
-            with hold():
+            if not free1.any():
                 m.update_connections(kf)
-            return 0
-        Kinv = np.linalg.inv(cam.K().astype(np.float64))
-        x1h_und = np.concatenate(
-            [f1.und_xy[sel1], np.ones((len(sel1), 1))], 1).astype(np.float32)
-        x1h_nrm = np.concatenate(
-            [f1.norm_xy[sel1], np.ones((len(sel1), 1))], 1).astype(np.float32)
-        masks, bits_l, ang_l, used = [], [], [], []
-        pose_snap = {}
-        with hold():
-          for kn in neighbors:
-            R2, t2 = m.kf_R[kn].copy(), m.kf_t[kn].copy()
-            O2 = m.kf_center(kn)
-            baseline = np.linalg.norm(O2 - O1)
-            med_depth = self._median_depth(kn)
-            if med_depth <= 0 or baseline / med_depth < cfg.min_baseline_depth_ratio:
-                continue
-            pose_snap[kn] = (R2, t2)
-            f2 = m.kf_feats[kn]
-            free2 = (m.kf_mp[kn] < 0) & f2.valid
-            # essential from relative pose (ref ComputeF12, LocalMapping.cc)
-            R12 = R1 @ R2.T
-            t12 = -R12 @ t2 + t1
-            E12 = np.array([[0, -t12[2], t12[1]],
-                            [t12[2], 0, -t12[0]],
-                            [-t12[1], t12[0], 0]]) @ R12
-            if self.camspec.kind == "kb8":
-                # fisheye: no common image plane for a pixel F-matrix —
-                # gate on the essential matrix in NORMALIZED ray coords
-                # (camera-generic equivalent of KB8 epipolarConstrain,
-                # KannalaBrandt8.cpp:202); thresholds scale by 1/fx.
-                emask = M.epipolar_mask_np(
-                    f2.norm_xy.astype(np.float32),
-                    x1h_nrm @ E12.astype(np.float32), f2.octave,
-                    self.sf ** 2 / float(cam.fx) ** 2,
-                )
-            else:
-                F12 = (Kinv.T @ E12 @ Kinv).astype(np.float32)
-                emask = M.epipolar_mask_np(
-                    f2.und_xy.astype(np.float32), x1h_und @ F12, f2.octave,
-                    self.sf ** 2
-                )
-            masks.append(emask & free2[None, :])
-            bits_l.append(f2.bits)
-            ang_l.append(f2.angle)
-            used.append(kn)
-        if not masks:
+                return 0
+            for kn in neighbors:
+                R2, t2 = m.kf_R[kn].copy(), m.kf_t[kn].copy()
+                O2 = m.kf_center(kn)
+                baseline = np.linalg.norm(O2 - O1)
+                med_depth = self._median_depth(kn)
+                if med_depth <= 0 or \
+                        baseline / med_depth < cfg.min_baseline_depth_ratio:
+                    continue
+                pose_snap[kn] = (R2, t2)
+                f2 = m.kf_feats[kn]
+                free2_l.append((m.kf_mp[kn] < 0) & f2.valid)
+                # essential from relative pose (ref ComputeF12,
+                # LocalMapping.cc)
+                R12 = R1 @ R2.T
+                t12 = -R12 @ t2 + t1
+                E12 = np.array([[0, -t12[2], t12[1]],
+                                [t12[2], 0, -t12[0]],
+                                [-t12[1], t12[0], 0]]) @ R12
+                if kb8:
+                    # fisheye: no common image plane for a pixel F-matrix —
+                    # gate on the essential matrix in NORMALIZED ray coords
+                    # (camera-generic equivalent of KB8 epipolarConstrain,
+                    # KannalaBrandt8.cpp:202); thresholds scale by 1/fx.
+                    Fms.append(E12.astype(np.float32))
+                    sig2_l.append(
+                        3.84 * self.sf[f2.octave] ** 2 / float(cam.fx) ** 2)
+                else:
+                    Kinv = np.linalg.inv(cam.K().astype(np.float64))
+                    Fms.append((Kinv.T @ E12 @ Kinv).astype(np.float32))
+                    sig2_l.append(3.84 * self.sf[f2.octave] ** 2)
+                used.append(kn)
+        if not used:
             with hold():
                 m.update_connections(kf)
             return 0
         n2 = f1.n  # per-neighbor feature count (fixed extractor budget)
         # NO ratio test: the reference's SearchForTriangulation gates on
-        # dist<TH_LOW + epipolar only (ORBmatcher.cc:1061-1085)
-        midx, _ = M.match_padded(
-            f1.bits[sel1], np.concatenate(bits_l, 0),
-            np.concatenate(masks, 1), max_dist=M.TH_LOW,
-            ang_a=f1.angle[sel1], ang_b=np.concatenate(ang_l),
-        )
+        # dist<TH_LOW + epipolar only (ORBmatcher.cc:1061-1085); rotation
+        # histogram + one-to-one run inside the kernel
+        from ..utils.timing import GLOBAL_TIMER as _T
+        with _T.stage("tri.kernel"):
+            midx, _ = self.devk.tri_match(
+                m, kf, free1, used, np.stack(Fms), np.stack(free2_l), kb8,
+                np.stack(sig2_l).astype(np.float32))
         r1 = np.nonzero(midx >= 0)[0]
         if len(r1) == 0:
             with hold():
@@ -352,7 +366,7 @@ class LocalMapper:
             return 0
         t_idx = midx[r1] // n2
         i2 = midx[r1] % n2
-        i1 = sel1[r1]
+        i1 = r1
         kns = np.asarray(used)[t_idx]
         R2s = np.stack([pose_snap[int(k)][0] for k in kns])
         t2s = np.stack([pose_snap[int(k)][1] for k in kns])
@@ -423,99 +437,76 @@ class LocalMapper:
         return float(np.median(Xc[:, 2]))
 
     # ---------------------------------------------------------------- fusion
-    def _fuse_neighbors(self, kf: int):
+    def _fuse_neighbors(self, kf: int, hold=None):
         """ref: SearchInNeighbors (LocalMapping.cc:729) + ORBmatcher::Fuse.
 
-        TPU-shaped: the forward direction (this KF's points into every
-        neighbor) is ONE masked matcher dispatch — rows are the
-        concatenated target features, columns the own points; per-target
-        frustum/window/scale gates are block-built on host. The serial
-        per-target loop cost one dispatch x ~30 targets."""
-        m = self.map
-        targets = m.best_covisible(kf, 10)
-        second = set()
-        for kn in targets:
-            for o in m.best_covisible(kn, 5):
-                if o != kf and o not in targets:
-                    second.add(o)
-        targets = [k for k in list(targets) + list(second) if m.kf_valid[k]]
-        own = np.unique(m.kf_mp[kf])
-        own = own[own >= 0]
-        own = own[m.mp_valid[own]]
-        if len(own) and targets:
-            self._fuse_batched(targets, own)
-        # reverse: fuse neighbor points into kf (one more dispatch)
-        nbr_pts = np.unique(m.kf_mp[targets]) if targets else np.zeros(0, int)
-        nbr_pts = nbr_pts[nbr_pts >= 0]
-        self._fuse_into(kf, nbr_pts)
-        m.update_point_stats_batch(np.unique(m.kf_mp[kf]))
-        m.update_connections(kf)
+        TPU-shaped: both directions (this KF's points into every neighbor;
+        the neighborhood's points into this KF) are ONE device dispatch
+        each (map_device.make_fuse_kernel) — per-target frustum / window /
+        scale masks are computed ON DEVICE against the device-cached KF
+        features (the round-4 host version shipped a [T*N, P] dense mask,
+        ~30 MB per keyframe through the tunnel).
 
-    def _fuse_batched(self, targets, mp_ids):
-        """Project mp_ids into EVERY target KF with one matcher dispatch;
-        merge duplicates / claim free slots (ORBmatcher::Fuse semantics,
-        ORBmatcher.cc:1403)."""
+        hold: optional lock-context factory — snapshot + merge sections
+        run under the map lock, the kernel runs lock-free."""
+        import contextlib
+
+        if hold is None:
+            hold = lambda: contextlib.nullcontext()
+        from ..utils.timing import GLOBAL_TIMER as T
+
         m = self.map
-        cam = self.camera
-        X = m.mp_pos[mp_ids]
-        P = len(mp_ids)
-        masks, bits_rows = [], []
-        for kn in targets:
-            R, t = m.kf_R[kn], m.kf_t[kn]
-            Xc = X @ R.T + t
-            uv = cam.project_np(Xc)
-            Ow = m.kf_center(kn)
-            vdir = X - Ow[None]
-            dist = np.linalg.norm(vdir, axis=1)
-            cosv = np.sum(vdir * m.mp_normal[mp_ids], 1) / np.maximum(
-                dist, 1e-9)
-            okp = (
-                (Xc[:, 2] > 0)
-                & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
-                & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
-                & (dist >= 0.8 * m.mp_min_dist[mp_ids])
-                & (dist <= 1.2 * m.mp_max_dist[mp_ids])
-                & (cosv > 0.5)
-            )
-            f = m.kf_feats[kn]
-            sel = np.nonzero(okp)[0]  # window math on in-frustum subset
-            block = np.zeros((f.n, P), bool)
-            if len(sel):
-                pred = m.predict_scale(np.maximum(dist[sel], 1e-9),
-                                       mp_ids[sel])
-                mask_pn = (
-                    M.window_mask_np(
-                        uv[sel].astype(np.float32),
-                        f.xy.astype(np.float32),
-                        (self.cfg.mapping.fuse_radius
-                         * self.sf[pred]).astype(np.float32))
-                    & f.valid[None, :]
-                    & M.level_mask_np(pred, f.octave, 1, 1)
-                )  # [P', N]
-                block[:, sel] = mask_pn.T
-            masks.append(block)  # rows = target features
-            bits_rows.append(f.bits)
-        big_mask = np.concatenate(masks, 0)        # [T*N, P]
-        big_bits = np.concatenate(bits_rows, 0)    # [T*N, 256]
-        midx, mdist = M.match_padded(
-            big_bits, m.mp_bits[mp_ids], big_mask, max_dist=M.TH_LOW,
-            one_to_one=False,
-        )
-        n_feat = m.kf_feats[targets[0]].n
-        rows = np.nonzero(midx >= 0)[0]
-        # per-(target, point) dedup: keep the best-distance feature (the
-        # reference projects each point and keeps its single best feature)
-        best: dict[tuple, tuple] = {}
-        for r in rows:
-            t_i = int(r // n_feat)
-            slot = int(r % n_feat)
-            p = int(midx[r])
-            key = (t_i, p)
-            d = int(mdist[r])
-            if key not in best or d < best[key][0]:
-                best[key] = (d, slot)
-        for (t_i, p), (_, slot) in best.items():
-            kn = targets[t_i]
+        with T.stage("fuse.snap"), hold():
+            targets = m.best_covisible(kf, 10)
+            second = set()
+            for kn in targets:
+                for o in m.best_covisible(kn, 5):
+                    if o != kf and o not in targets:
+                        second.add(o)
+            targets = [k for k in list(targets) + list(second)
+                       if m.kf_valid[k]][:32]  # one fixed kernel bucket
+            own = np.unique(m.kf_mp[kf])
+            own = own[own >= 0]
+            own = own[m.mp_valid[own]]
+            snap_fwd = (self.devk.fuse_snapshot(m, targets, own)
+                        if len(own) and targets else None)
+            nbr_pts = (np.unique(m.kf_mp[targets]) if targets
+                       else np.zeros(0, int))
+            nbr_pts = nbr_pts[nbr_pts >= 0]
+            nbr_pts = nbr_pts[m.mp_valid[nbr_pts]]
+            # chunk at the kernel's fixed 4096-point bucket
+            rev_chunks = [nbr_pts[i:i + 4096]
+                          for i in range(0, len(nbr_pts), 4096)]
+            snaps_rev = [self.devk.fuse_snapshot(m, [kf], c)
+                         for c in rev_chunks]
+        if snap_fwd is not None:
+            with T.stage("fuse.kernel"):
+                bf, bd = self.devk.fuse_run(snap_fwd)
+            with T.stage("fuse.merge"), hold():
+                self._merge_candidates(targets, own, bf)
+        for chunk, snap_rev in zip(rev_chunks, snaps_rev):
+            with T.stage("fuse.kernel"):
+                bf, bd = self.devk.fuse_run(snap_rev)
+            with T.stage("fuse.merge"), hold():
+                self._merge_candidates([kf], chunk, bf)
+        with T.stage("fuse.stats"), hold():
+            m.update_point_stats_batch(np.unique(m.kf_mp[kf]))
+            m.update_connections(kf)
+
+    def _merge_candidates(self, targets, mp_ids, best_feat):
+        """Apply fuse results: per (target KF, point) best feature — merge
+        with the slot's existing point or claim a free slot
+        (ORBmatcher::Fuse semantics, ORBmatcher.cc:1403: each projected
+        point keeps its single best feature; slot conflicts resolve by
+        observation count via Replace). Runs under the map lock;
+        staleness-guarded against cull/replace during the kernel."""
+        m = self.map
+        ti, pi = np.nonzero(best_feat >= 0)
+        for t_i, p in zip(ti, pi):
+            kn = targets[int(t_i)]
+            if not m.kf_valid[kn]:
+                continue
+            slot = int(best_feat[t_i, p])
             mp = int(mp_ids[p])
             if not m.mp_valid[mp]:
                 continue
@@ -531,54 +522,18 @@ class LocalMapper:
                 m.add_observation(mp, kn, slot)
 
     def _fuse_into(self, kf: int, mp_ids):
-        """Project mp_ids into kf; merge with existing or claim free slots."""
+        """Project mp_ids into kf and merge (also the loop-correction weld
+        fuse, ref SearchAndFuse LoopClosing.cc:2159). Caller holds the map
+        lock."""
         m = self.map
-        cam = self.camera
-        mp_ids = np.array([j for j in mp_ids if m.mp_valid[j]], np.int32)
-        if len(mp_ids) == 0:
+        mp_ids = np.asarray(mp_ids, np.int64)
+        mp_ids = mp_ids[mp_ids >= 0]
+        mp_ids = mp_ids[m.mp_valid[mp_ids]]
+        if len(mp_ids) == 0 or not m.kf_valid[kf]:
             return
-        R, t = m.kf_R[kf], m.kf_t[kf]
-        X = m.mp_pos[mp_ids]
-        Xc = X @ R.T + t
-        uv = cam.project_np(Xc)
-        Ow = m.kf_center(kf)
-        dist = np.linalg.norm(X - Ow[None], axis=1)
-        cosv = np.sum((X - Ow[None]) * m.mp_normal[mp_ids], 1) / np.maximum(dist, 1e-9)
-        ok = (
-            (Xc[:, 2] > 0)
-            & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
-            & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
-            & (dist >= 0.8 * m.mp_min_dist[mp_ids])
-            & (dist <= 1.2 * m.mp_max_dist[mp_ids])
-            & (cosv > 0.5)
-        )
-        mp_ids = mp_ids[ok]
-        if len(mp_ids) == 0:
-            return
-        uv = uv[ok]
-        pred = m.predict_scale(dist[ok], mp_ids)
-        f = m.kf_feats[kf]
-        mask = (
-            M.window_mask_np(uv, f.xy, self.cfg.mapping.fuse_radius * self.sf[pred])
-            & f.valid[None, :]
-            & M.level_mask_np(pred, f.octave, 1, 1)
-        )
-        midx, _ = M.match_padded(
-            m.mp_bits[mp_ids], f.bits, mask, max_dist=M.TH_LOW,
-        )
-        for a in np.nonzero(midx >= 0)[0]:
-            mp = int(mp_ids[a])
-            slot = int(midx[a])
-            existing = int(m.kf_mp[kf, slot])
-            if existing >= 0:
-                if existing != mp and m.mp_valid[existing]:
-                    # keep the one with more observations (ref: Fuse)
-                    if len(m.mp_obs[existing]) > len(m.mp_obs[mp]):
-                        m.replace_point(mp, existing)
-                    else:
-                        m.replace_point(existing, mp)
-            else:
-                m.add_observation(mp, kf, slot)
+        snap = self.devk.fuse_snapshot(m, [kf], mp_ids)
+        bf, _ = self.devk.fuse_run(snap)
+        self._merge_candidates([kf], mp_ids, bf)
 
     # ---------------------------------------------------------------- localBA
     def _local_ba(self, kf: int, hold=None):

@@ -285,18 +285,38 @@ class DeviceFeatures:
             raise AttributeError(name)
         return getattr(self.materialize(), name)
 
+    def start_host_copy(self):
+        """Begin streaming the feature arrays device->host so a later
+        materialize() finds the copies done (keyframe creation runs on the
+        tracking thread; the ~40 ms blocking fetch it used to pay is
+        overlapped with the next frame's pipeline instead). The 256-byte
+        unpacked descriptors are NOT shipped — they are reconstructed from
+        `packed` on host (3x smaller transfer)."""
+        for k in ("xy", "und_xy", "norm_xy", "octave", "angle", "resp",
+                  "packed", "valid", "u_right", "depth"):
+            try:
+                self.dev[k].copy_to_host_async()
+            except Exception:
+                pass
+
     def materialize(self):
         from ..map.store import FrameFeatures
 
         if self._np is None:
-            (xy, und, norm, octv, ang, resp, bits, packed, valid, ur,
+            (xy, und, norm, octv, ang, resp, packed, valid, ur,
              dep) = jax.device_get((
                  self.dev["xy"], self.dev["und_xy"], self.dev["norm_xy"],
                  self.dev["octave"], self.dev["angle"], self.dev["resp"],
-                 self.dev["bits"], self.dev["packed"], self.dev["valid"],
+                 self.dev["packed"], self.dev["valid"],
                  self.dev["u_right"], self.dev["depth"]))
             ur = np.asarray(ur, np.float64)
             dep = np.asarray(dep, np.float64)
+            packed = np.asarray(packed, np.uint32)
+            # reconstruct the {0,1}-byte descriptor view from the packed
+            # words (little-endian per ops/orb.pack_bits)
+            bits = (
+                (packed[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+            ).astype(np.uint8).reshape(packed.shape[0], 256)
             self._np = FrameFeatures(
                 xy=np.asarray(xy, np.float64),
                 und_xy=np.asarray(und, np.float64),
@@ -304,8 +324,8 @@ class DeviceFeatures:
                 octave=np.asarray(octv, np.int32),
                 angle=np.asarray(ang, np.float64),
                 response=np.asarray(resp, np.float64),
-                bits=np.asarray(bits, np.uint8),
-                packed=np.asarray(packed, np.uint32),
+                bits=bits,
+                packed=packed,
                 valid=np.asarray(valid, bool),
                 depth=dep if (dep > 0).any() else None,
                 u_right=ur if (ur >= 0).any() else None,
@@ -479,17 +499,35 @@ class FusedTracker:
                     out[k].copy_to_host_async()
                 except Exception:
                     pass
+            # also stream the feature arrays (~120 KB with packed
+            # descriptors): if this frame becomes a keyframe, its
+            # materialize() finds the copies already landed instead of
+            # paying a blocking ~40 ms fetch on the tracking thread
+            for k in ("xy", "und_xy", "norm_xy", "octave", "angle",
+                      "resp", "packed", "valid", "u_right", "depth"):
+                try:
+                    out["feats"][k].copy_to_host_async()
+                except Exception:
+                    pass
         return out
 
-    def complete(self, out, frame):
-        """Fetch the step's results; fill frame.{R,t,mp,feats} and update
-        map counters. Returns n_inliers."""
+    def fetch_results(self, out):
+        """Block for the step's small outputs (device_get releases the
+        GIL; callers run this OUTSIDE the map lock so the mapping worker
+        is not stalled behind a ~25 ms tunnel fetch every frame)."""
         from ..utils.timing import GLOBAL_TIMER as T
 
-        m = self.map
         with T.stage("fused.fetch"):
-            pose, assoc, rowflags = jax.device_get(
+            return jax.device_get(
                 (out["pose"], out["assoc"], out["rowflags"]))
+
+    def complete(self, out, frame, fetched=None):
+        """Fetch the step's results; fill frame.{R,t,mp,feats} and update
+        map counters (map access — callers hold the map lock for this
+        part). Returns n_inliers."""
+        m = self.map
+        pose, assoc, rowflags = (fetched if fetched is not None
+                                 else self.fetch_results(out))
         ids = out["ids"]
         Pb = rowflags.shape[0] // 2
         visible = rowflags[:Pb]

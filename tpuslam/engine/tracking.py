@@ -357,9 +357,12 @@ class Tracker:
             self._flush_pipeline()
             self.last_frame = self._last_completed or self.last_frame
         if fused_ok and self.cfg.tracking.pipelined:
-            with self.map.lock:
-                with T.stage("track_fused"):
-                    res = self._track_fused_pipelined(frame, img, img_right)
+            # locking is staged INSIDE (dispatch + result-apply under the
+            # map lock, the ~25 ms device fetch outside it) so the mapping
+            # worker's per-stage lock takes interleave with tracking
+            # instead of waiting out the fetch every frame
+            with T.stage("track_fused"):
+                res = self._track_fused_pipelined(frame, img, img_right)
             if res is not None:
                 ran = True
                 self.last_frame = self._last_completed or self.last_frame
@@ -707,8 +710,9 @@ class Tracker:
             return
         pend_frame, out, min_req = self._pending
         self._pending = None
+        fetched = self._fused.fetch_results(out)  # lock-free
         with self.map.lock:
-            n_inl = self._fused.complete(out, pend_frame)
+            n_inl = self._fused.complete(out, pend_frame, fetched=fetched)
             self.n_inliers = n_inl
             self._finish_completed(pend_frame, n_inl, min_req)
 
@@ -750,30 +754,36 @@ class Tracker:
         if vote_frame is None or vote_frame.mp is None or \
                 vote_frame.R is None:
             return None
-        if not ft.build_local_map(vote_frame.mp):
+        with self.map.lock:
+            ok_map = ft.build_local_map(vote_frame.mp)
+            if ok_map:
+                min_req = self.cfg.tracking.min_inliers_local \
+                    if self.frames_since_kf > 0 else 15
+                if self._pending is not None:
+                    pose_in = self._pending[1]["pose"]
+                else:
+                    pose_in = np.concatenate([
+                        np.asarray(self.last_frame.R, np.float32).ravel(),
+                        np.asarray(self.last_frame.t, np.float32),
+                        np.float32([0.0])])
+                out = ft.dispatch(img, img_right, pose_in, min_req)
+                pend = self._pending
+                self._pending = (frame, out, min_req)
+        if not ok_map:
             self._flush_pipeline()
             return None
-        min_req = self.cfg.tracking.min_inliers_local \
-            if self.frames_since_kf > 0 else 15
-        if self._pending is not None:
-            pose_in = self._pending[1]["pose"]
-        else:
-            pose_in = np.concatenate([
-                np.asarray(self.last_frame.R, np.float32).ravel(),
-                np.asarray(self.last_frame.t, np.float32),
-                np.float32([0.0])])
-        out = ft.dispatch(img, img_right, pose_in, min_req)
-        pend = self._pending
-        self._pending = (frame, out, min_req)
         if pend is not None:
             pend_frame, pend_out, pend_req = pend
-            n_inl = ft.complete(pend_out, pend_frame)
-            self.n_inliers = n_inl
-            self._finish_completed(pend_frame, n_inl, pend_req)
-            if self.state != State.OK:
-                # the in-flight step rode a failed pose: discard it and
-                # let the host path retake over on the next frame
-                self._pending = None
+            fetched = ft.fetch_results(pend_out)  # lock-free: mapping
+            # stages interleave with this ~25 ms wait
+            with self.map.lock:
+                n_inl = ft.complete(pend_out, pend_frame, fetched=fetched)
+                self.n_inliers = n_inl
+                self._finish_completed(pend_frame, n_inl, pend_req)
+                if self.state != State.OK:
+                    # the in-flight step rode a failed pose: discard it
+                    # and let the host path retake over on the next frame
+                    self._pending = None
         return True
 
     def _track_fused(self, frame: Frame, img, img_right):

@@ -88,14 +88,28 @@ def resolve_duplicates(match_idx, best, valid, m_size: int):
     return jnp.where(final, match_idx, -1), final
 
 
+def unpack_mask(packed, m: int):
+    """Device-side unpack of a bit-packed boolean mask: [N, ceil(M/8)] u8
+    (numpy packbits, bitorder='little') -> [N, M] bool.
+
+    Host->device mask transfer is the dominant cost of the mapping-side
+    matcher calls through a tunneled backend (round-4 profile: the fuse
+    step's [T*N, P] dense bool mask was ~30 MB per keyframe at ~50 MB/s);
+    packing cuts the payload 8x for one cheap device-side shift."""
+    bits = (packed[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    return bits.reshape(packed.shape[0], -1)[:, :m].astype(jnp.bool_)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_dist", "nn_ratio", "use_rot", "one_to_one",
-                     "ratio_same_octave"),
+                     "ratio_same_octave", "packed_mask"),
 )
 def _match_core(bits_a, bits_b, mask, ang_a, ang_b, max_dist, nn_ratio,
                 use_rot, one_to_one, oct_b=None,
-                ratio_same_octave: bool = False):
+                ratio_same_octave: bool = False, packed_mask: bool = False):
+    if packed_mask:
+        mask = unpack_mask(mask, bits_b.shape[0])
     dist = hamming_matrix(bits_a, bits_b)
     if ratio_same_octave and nn_ratio is not None:
         # ref SearchByProjection (ORBmatcher.cc:130): the ratio test only
@@ -130,12 +144,15 @@ def match(
     one_to_one: bool = True,
     oct_b=None,
     ratio_same_octave: bool = False,
+    packed_mask: bool = False,
 ):
     """Generic masked matcher (jit'd; one compiled program per shape bucket
     and flag combination).
 
     ratio_same_octave: apply nn_ratio only when best and second-best are on
     the same pyramid level of B (requires oct_b; ref ORBmatcher.cc:130).
+    packed_mask: mask is [N, M/8] u8 bit-packed (little bit order), unpacked
+    on device (8x smaller host->device transfer).
     Returns (match_idx [N] int32 into B or -1, dist [N] int32).
     """
     use_rot = ang_a is not None
@@ -148,19 +165,22 @@ def match(
         bits_a, bits_b, mask, ang_a, ang_b, int(max_dist),
         None if nn_ratio is None else float(nn_ratio), use_rot, one_to_one,
         oct_b=oct_b, ratio_same_octave=bool(ratio_same_octave),
+        packed_mask=bool(packed_mask),
     )
 
 
 def match_padded(bits_a, bits_b, mask, ang_a=None, ang_b=None, oct_b=None,
                  **kw):
     """Numpy-facing matcher that pads both sides to shape buckets so the
-    frame loop reuses a handful of compiled programs. All inputs numpy."""
+    frame loop reuses a handful of compiled programs. All inputs numpy.
+    The mask ships bit-packed (see unpack_mask)."""
     from ..utils.pad import bucket, pad_to
 
     n, m = len(bits_a), len(bits_b)
     nb, mb = bucket(n), bucket(m)
     mask_p = np.zeros((nb, mb), bool)
     mask_p[:n, :m] = np.asarray(mask)
+    packed = np.packbits(mask_p, axis=1, bitorder="little")
     bits_a = pad_to(np.asarray(bits_a), nb)
     bits_b = pad_to(np.asarray(bits_b), mb)
     if ang_a is not None:
@@ -169,8 +189,8 @@ def match_padded(bits_a, bits_b, mask, ang_a=None, ang_b=None, oct_b=None,
     if oct_b is not None:
         oct_b = jnp.asarray(pad_to(np.asarray(oct_b, np.int32), mb))
     midx, dist = match(
-        jnp.asarray(bits_a), jnp.asarray(bits_b), jnp.asarray(mask_p),
-        ang_a=ang_a, ang_b=ang_b, oct_b=oct_b, **kw,
+        jnp.asarray(bits_a), jnp.asarray(bits_b), jnp.asarray(packed),
+        ang_a=ang_a, ang_b=ang_b, oct_b=oct_b, packed_mask=True, **kw,
     )
     return np.asarray(midx)[:n], np.asarray(dist)[:n]
 
