@@ -106,7 +106,9 @@ def test_recovers_perturbed_window(rng):
         m, _Cam(), calib, np.ones(8), opt_kfs=kfs, fixed_kfs=[],
         n_iters=25, fix_first=True)
     assert np.abs(m.kf_R[kfs] - gtR).max() < 2e-3
-    assert np.abs(m.kf_t[kfs] - gtT).max() < 5e-3
+    # 8e-3: the round-5 split landmark/state damping trades a little
+    # tail convergence on this problem for f32 flat-direction safety
+    assert np.abs(m.kf_t[kfs] - gtT).max() < 8e-3
     assert np.abs(m.kf_vel[kfs] - gtV).max() < 5e-2
     # biases must NOT absorb the perturbation (true bias is zero)
     assert np.abs(m.kf_bg[kfs]).max() < 1e-3

@@ -120,7 +120,8 @@ def test_imu_init_scale_gate(rng):
     # monkeypatch the solver to report a degenerate scale
     def fake_solve(*a, **k):
         return dict(scale=np.float64(0.05), Rwg=np.eye(3),
-                    v=np.zeros((3, 3)), bg=np.zeros(3), ba=np.zeros(3))
+                    v=np.zeros((3, 3)), bg=np.zeros(3), ba=np.zeros(3),
+                    logs_sigma=np.float64(0.01))
 
     inertial_mod.inertial_init_solve = fake_solve
     try:

@@ -65,7 +65,11 @@ def test_inertial_init_recovers_scale_gravity(rng):
     out = inertial_init_solve(
         jnp.asarray(d["Rwb"]), jnp.asarray(d["p"]), jnp.zeros((K, 3)),
         d["edges_a"], d["edges_b"], d["pre_stack"], d["info9"],
-        prior_g=1.0, prior_a=1e8, n_iters=30,
+        # 120 iterations: the corrected preintegration information
+        # (round 5) makes the position terms ~1e3 stiffer, and the
+        # init landscape needs ~100 LM steps to walk the scale/gravity
+        # valley (measured: 30 -> s=1.54, 100 -> s=2.4993)
+        prior_g=1.0, prior_a=1e8, n_iters=120,
     )
     s = float(out["scale"])
     assert abs(s - d["s_true"]) / d["s_true"] < 0.02, s

@@ -80,6 +80,23 @@ class InertialConfig:
     scale_refine_until: float = 75.0     # mono ScaleRefinement window (ref
                                          # LocalMapping.cc:208 25..75s)
     scale_refine_period: float = 1.5     # min seconds between refinements
+    # Visual-pose noise model for the POSES-FIXED init solves (round 5).
+    # The reference inverts the raw preintegration covariance and treats
+    # the visual poses as exact (Optimizer.cc:5303); with an accurate
+    # (synthetic/global-shutter) IMU the resulting information is stiff
+    # enough that mm-level visual pose jitter dominates every edge and
+    # the scale estimate collapses toward the degenerate s->0 basin
+    # (measured on the engine's own init problems). Inflating the edge
+    # covariance with the visual pose noise makes the init an honest
+    # maximum-likelihood problem; full VI BA (poses free) keeps the
+    # exact C^-1.
+    init_vis_rot_sigma: float = 2e-3     # rad, per visual KF rotation
+    init_vis_pos_sigma: float = 5e-3     # m (metric), per visual KF pos
+    # mono init observability gate: defer IMU init while the solve's own
+    # log-scale std is above this (weak excitation makes scale
+    # unidentifiable; ref refuses low-excitation stereo init,
+    # Tracking.cc:1363-1368 — this is the mono analogue)
+    init_max_logs_sigma: float = 0.25
 
 
 @dataclass

@@ -127,7 +127,9 @@ def chain_edges(m, chain, calib: ImuCalib):
 
 def run_imu_init(m, calib: ImuCalib, mono: bool = True,
                  prior_g: float = 1e2, prior_a: float = 1e10,
-                 opt_bias: bool = True):
+                 opt_bias: bool = True,
+                 vis_rot_sigma: float = 2e-3, vis_pos_sigma: float = 5e-3,
+                 max_logs_sigma: float = 0.25):
     """ref: LocalMapping::InitializeIMU (:1213) — inertial-only optimization
     with poses fixed, then gravity-align + rescale the map.
 
@@ -160,21 +162,77 @@ def run_imu_init(m, calib: ImuCalib, mono: bool = True,
     pre_stack = jax.tree.map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
         *[e["pre"] for e in edges])
-    info9 = jnp.asarray(np.stack([e["info9"] for e in edges]))
+    # POSES-FIXED solve: inflate the edge covariance with the visual pose
+    # noise the fixed poses carry (InertialConfig.init_vis_*_sigma — see
+    # the config rationale; the er residual sees two visual rotations,
+    # the ep residual two visual positions)
+    infl = np.diag([2 * vis_rot_sigma ** 2] * 3 + [0.0] * 3
+                   + [2 * vis_pos_sigma ** 2] * 3)
+    info9 = jnp.asarray(np.stack([
+        np.asarray(information_from_cov(jnp.asarray(
+            e["pre"]["C"][:9, :9].astype(np.float64) + infl)))
+        for e in edges]))
     ea = jnp.asarray(np.array([idx[e["a"]] for e in edges], np.int32))
     eb = jnp.asarray(np.array([idx[e["b"]] for e in edges], np.int32))
-    v0 = np.stack([m.kf_vel[k] for k in chain]).astype(np.float64)
+    # SEEDS (ref LocalMapping::InitializeIMU :1254-1270): without them the
+    # solve can settle in a degenerate small-scale basin (measured: zero
+    # velocities + identity gravity converged to s=0.007 on the engine's
+    # own problems once the optimizer ran to convergence).
+    #  - velocities: VISUAL-frame position finite differences per edge
+    #  - gravity direction: dirG = -sum(Rwb1 @ dV) over the chain, mapped
+    #    to an Rwg0 rotating (0,0,-1) onto it (2-DoF vertex seeds there)
+    if m.imu_initialized:
+        v0 = np.stack([m.kf_vel[k] for k in chain]).astype(np.float64)
+    else:
+        v0 = np.zeros((K, 3))
+        for e in edges:
+            dT = max(float(e["pre"]["dT"]), 1e-6)
+            dv = (p[idx[e["b"]]] - p[idx[e["a"]]]) / dT
+            v0[idx[e["b"]]] = dv
+            if idx[e["a"]] == 0:
+                v0[0] = dv
+    dirG = np.zeros(3)
+    for e in edges:
+        dirG -= Rwb[idx[e["a"]]] @ np.asarray(e["pre"]["dV"], np.float64)
+    nG = np.linalg.norm(dirG)
+    if nG > 1e-9:
+        dirG /= nG
+        gI = np.array([0.0, 0.0, -1.0])
+        vcr = np.cross(gI, dirG)
+        nv = np.linalg.norm(vcr)
+        ang = float(np.arccos(np.clip(gI @ dirG, -1.0, 1.0)))
+        if nv > 1e-9:
+            from ..core.lie import so3_exp as _exp
+            Rwg0 = np.asarray(_exp(jnp.asarray(vcr / nv * ang)))
+        else:
+            Rwg0 = np.eye(3)
+    else:
+        Rwg0 = np.eye(3)
     if not opt_bias:
         prior_g = prior_a = 1e14   # pin bias deltas at zero
     out = inertial_init_solve(
         jnp.asarray(Rwb.astype(np.float64)), jnp.asarray(p.astype(np.float64)),
         jnp.asarray(v0), ea, eb,
         jax.tree.map(lambda x: x.astype(jnp.float64), pre_stack),
-        info9, prior_g=prior_g, prior_a=prior_a, n_iters=40,
-        mono_scale=mono,
+        # 120 LM steps: the corrected preintegration information (round
+        # 5 f32 work) stiffens the position terms ~1e3, and the
+        # scale/gravity valley takes ~100 steps to walk (the problem is
+        # a tiny dense (8+3K)-dim solve — iterations are cheap)
+        info9, prior_g=prior_g, prior_a=prior_a, n_iters=120,
+        mono_scale=mono, Rwg0=jnp.asarray(Rwg0),
     )
     s = float(out["scale"])
     if not np.isfinite(s) or s > 1e2:
+        return False
+    if mono and opt_bias and not m.imu_initialized and \
+            float(out["logs_sigma"]) > max_logs_sigma:
+        # scale unidentifiable from this window (weak accelerometer
+        # excitation): DEFER init — more keyframes will come (the mono
+        # analogue of the reference's low-excitation init refusal,
+        # Tracking.cc:1363-1368)
+        from ..utils.verbose import print_mess
+        print_mess(f"[imu_init] deferred: log-scale sigma "
+                   f"{float(out['logs_sigma']):.3f} > {max_logs_sigma}")
         return False
     if s < 1e-1:
         # degenerate metric scale (ref: LocalMapping.cc:1314 scale<1e-1

@@ -133,7 +133,10 @@ class LocalMapper:
             if len(chain) < icfg.init_min_kfs or span < icfg.init_min_span:
                 return
             if run_imu_init(m, self.imu_calib, mono=self.mono,
-                            prior_g=icfg.prior_g1, prior_a=icfg.prior_a1):
+                            prior_g=icfg.prior_g1, prior_a=icfg.prior_a1,
+                            vis_rot_sigma=icfg.init_vis_rot_sigma,
+                            vis_pos_sigma=icfg.init_vis_pos_sigma,
+                            max_logs_sigma=icfg.init_max_logs_sigma):
                 full_inertial_ba(
                     m, self.camera, self.imu_calib, self.inv_sigma2,
                     prior_g=icfg.prior_g1, prior_a=icfg.prior_a1)

@@ -383,6 +383,43 @@ class Tracker:
                         frame.mp = None
                         with T.stage("track"):
                             self._track_frame(frame)
+        # visual-INERTIAL fused path (round 5): the one-dispatch visual
+        # step runs with the IMU-predicted pose, then ONE pose-inertial
+        # solve refines on the fused associations — 3-4 device dispatches
+        # per frame instead of the host path's ~10 (ref per-frame chain:
+        # PreintegrateIMU Tracking.cc:909 -> PredictStateIMU :669 ->
+        # TrackLocalMap with PoseInertialOptimization* Optimizer.cc:
+        # 7479/7874)
+        vi_fused_ok = (
+            not ran
+            and self.fused_enabled
+            and self.state == State.OK
+            and not self._force_new_map
+            and self.use_imu
+            and self.map.imu_initialized
+            and self.camera2 is None
+            and depth is None
+            and self.camspec.kind == "pinhole"
+            and self.last_frame is not None
+            and self.last_frame.mp is not None
+            and self.last_frame.R is not None
+        )
+        if vi_fused_ok:
+            with self.map.lock:
+                self._sync_imu_from_map()
+                with T.stage("track_fused_vi"):
+                    res = self._track_fused_vi(frame, img, img_right)
+                if res is not None:
+                    ran = True
+                    if res:
+                        self._post_track_ok(frame)
+                    else:
+                        # fall back to the host state machine with the
+                        # already-extracted features
+                        frame.R = frame.t = None
+                        frame.mp = None
+                        with T.stage("track"):
+                            self._track_frame(frame)
         if not ran:
             if frame.feats is None:
                 with T.stage("extract"):
@@ -786,6 +823,44 @@ class Tracker:
                     self._pending = None
         return True
 
+    def _track_fused_vi(self, frame: Frame, img, img_right):
+        """Visual-inertial fused tracking: IMU-predict the pose (host +
+        two small dispatches), run the one-dispatch fused visual step
+        seeded at the prediction, then refine with ONE pose-inertial
+        solve over the fused associations (solve/pose_inertial.py — the
+        marginalization-prior chain is maintained exactly as in the host
+        path). Returns True (tracked), False (too few inliers — caller
+        falls back with the extracted features), None (can't run)."""
+        from .track_device import FusedTracker
+
+        if self._fused is None:
+            self._fused = FusedTracker(self)
+        ft = self._fused
+        last = self.last_frame
+        pred = self._predict_imu(frame)
+        if pred is None:
+            return None
+        if not ft.build_local_map(last.mp):
+            return None
+        R0, t0, v_pred = pred
+        min_req = self.cfg.tracking.min_inliers_local \
+            if self.frames_since_kf > 0 else 15
+        frame.v = v_pred
+        n_inl = ft.track(img, img_right, frame, R0, t0, min_req)
+        if n_inl < max(min_req // 2, 10):
+            self.n_inliers = n_inl
+            return False
+        vi = self._pose_opt_vi(frame, frame.mp)
+        if vi is None:
+            # inertial chain unusable this frame: the fused visual pose
+            # stands (same as the host path's visual fallback)
+            self.n_inliers = n_inl
+            return n_inl >= min_req
+        inl, sel = vi
+        frame.mp[sel[~inl]] = -1
+        self.n_inliers = int(inl.sum())
+        return self.n_inliers >= min_req
+
     def _track_fused(self, frame: Frame, img, img_right):
         """One-dispatch tracking via track_device.FusedTracker.
 
@@ -893,7 +968,18 @@ class Tracker:
             if not ok:
                 ok = self._track_motion_model(frame, R0, t0)
         elif self.state == State.RECENTLY_LOST:
-            ok = self._relocalize(frame)
+            if pred is not None:
+                # ref Tracking.cc:1017-1047: with an initialized IMU the
+                # RECENTLY_LOST frame rides the prediction and RETRIES
+                # full local-map tracking directly (no BoW reloc needed
+                # while dead-reckoning stays accurate) — reloc-only here
+                # permanently lost the map the moment one frame failed
+                # while moving into unmapped territory
+                frame.R, frame.t, frame.v = pred
+                frame.mp = np.full(frame.feats.n, -1, np.int32)
+                ok = self._track_local_map(frame)
+            if not ok:
+                ok = self._relocalize(frame)
             if not ok and pred is not None:
                 # IMU dead-reckoning while recently lost (ref :1017-1047)
                 frame.R, frame.t, frame.v = pred
@@ -1183,8 +1269,17 @@ class Tracker:
             for kf in m.mp_obs[int(j)]:
                 counts[kf] = counts.get(kf, 0) + 1
         if not counts:
-            return False
-        k1 = sorted(counts, key=counts.get, reverse=True)
+            # no associations yet (IMU-predicted RECENTLY_LOST retry):
+            # fall back to the last keyframe's neighborhood (ref
+            # UpdateLocalKeyFrames last-KF fallback, Tracking.cc:2526)
+            anchor = self.last_kf if (self.last_kf >= 0
+                                      and m.kf_valid[self.last_kf]) \
+                else self.ref_kf
+            if anchor < 0 or not m.kf_valid[anchor]:
+                return False
+            k1 = [anchor]
+        else:
+            k1 = sorted(counts, key=counts.get, reverse=True)
         self.ref_kf = k1[0]
         local_kfs = list(k1)
         seen = set(local_kfs)

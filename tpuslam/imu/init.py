@@ -53,17 +53,29 @@ def gyro_bias_from_rotations(Rwb_pairs, pre_dR, pre_JRg):
     return bg
 
 
-def _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack, mono_scale):
+def _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack, mono_scale,
+                  Rwg0=None):
     """Stacked 9-dim EdgeInertialGS residuals for all edges.
 
     theta = [phi_g(2), log_s(1), bg(3), ba(3), v(K*3)].
     Gravity Gw = Rwg * (0,0,-G) with Rwg = Exp([phi_x, phi_y, 0]) (2-DoF,
-    ref VertexGDir G2oTypes.h:271). Positions scaled by s when mono_scale.
+    ref VertexGDir G2oTypes.h:271).
+
+    The velocities live in the VISUAL (up-to-scale) frame and the scale
+    multiplies BOTH the position differences and the velocity terms —
+    exactly EdgeInertialGS (ref G2oTypes.cc computeError:
+    ev = R1^T (s (v2 - v1) - g dt) - dV,
+    ep = R1^T (s (p2 - p1 - v1 dt) - g dt^2 / 2) - dP). This coupling is
+    load-bearing: with METRIC velocities (no s on v), shrinking s lets
+    free velocities absorb the position terms and the optimum genuinely
+    slides to a degenerate s ~ 0 (measured on the engine's own init
+    problems once the solver ran to convergence; round 4's 40-iteration
+    cap had masked it). Callers get metric velocities as s * v.
     """
     K = Rwb.shape[0]
     dtype = Rwb.dtype
     phi = jnp.concatenate([theta[0:2], jnp.zeros(1, dtype)])
-    Rwg = so3_exp(phi)
+    Rwg = (jnp.eye(3, dtype=dtype) if Rwg0 is None else Rwg0) @ so3_exp(phi)
     s = jnp.exp(theta[2]) if mono_scale else jnp.asarray(1.0, dtype)
     bg = theta[3:6]
     ba = theta[6:9]
@@ -75,11 +87,11 @@ def _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack, mono_scale):
         dT = pre["dT"]
         dR, dV, dP = corrected_delta(pre, bg, ba)
         R1, R2 = Rwb[a], Rwb[b]
-        p1, p2 = s * p[a], s * p[b]
         v1, v2 = v[a], v[b]
         er = so3_log(dR.T @ R1.T @ R2)
-        ev = R1.T @ (v2 - v1 - g * dT) - dV
-        ep = R1.T @ (p2 - p1 - v1 * dT - 0.5 * g * dT * dT) - dP
+        ev = R1.T @ (s * (v2 - v1) - g * dT) - dV
+        ep = R1.T @ (s * (p[b] - p[a] - v1 * dT)
+                     - 0.5 * g * dT * dT) - dP
         return jnp.concatenate([er, ev, ep])
 
     return jax.vmap(edge)(edges_a, edges_b)
@@ -90,20 +102,30 @@ def _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack, mono_scale):
 def inertial_init_solve(Rwb, p, v0, edges_a, edges_b, pre_stack, info9,
                         prior_g: float = 1e2, prior_a: float = 1e10,
                         n_iters: int = 20, mono_scale: bool = True,
-                        fix_accel_bias: bool = False):
+                        fix_accel_bias: bool = False, Rwg0=None):
     """Estimate (Rwg, s, bg, ba, v) with KF poses fixed.
 
     prior_g/prior_a: zero-mean bias priors (the ref init schedule passes
     1e2/1e10 first, then 1e5 — LocalMapping.cc:1244,1270).
-    Returns dict(Rwg, scale, bg, ba, v [K,3], cost).
+    Rwg0: gravity-direction SEED — the 2-DoF vertex updates multiply it
+    (Rwg = Rwg0 Exp([px, py, 0]), ref VertexGDir G2oTypes.h:271). Pass
+    the dirG estimate from accumulated preintegrated velocity deltas
+    (ref LocalMapping.cc:1260-1270); from identity the solve must walk a
+    possibly ~90deg rotation through a 2-DoF chart and can settle in the
+    degenerate small-scale basin instead. v0 likewise seeds the
+    velocities (in the VISUAL frame; the ref seeds position finite
+    differences, LocalMapping.cc:1254).
+    Returns dict(Rwg, scale, bg, ba, v [K,3] METRIC, cost).
     """
     K = Rwb.shape[0]
     dtype = Rwb.dtype
+    if Rwg0 is None:
+        Rwg0 = jnp.eye(3, dtype=dtype)
     theta = jnp.concatenate([jnp.zeros(9, dtype), v0.reshape(-1)])
 
     def res(theta):
         return _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack,
-                             mono_scale)
+                             mono_scale, Rwg0)
 
     def cost_terms(theta):
         r = res(theta)
@@ -149,9 +171,33 @@ def inertial_init_solve(Rwb, p, v0, edges_a, edges_b, pre_stack, info9,
     (theta, _, cost), _ = jax.lax.scan(
         step, (theta, jnp.asarray(1e-4, dtype), cost_of(theta)), None,
         length=n_iters)
+    # scale observability: the marginal std of log_s from the final GN
+    # Hessian (callers gate mono init on it — with weak accelerometer
+    # excitation scale is unidentifiable and the estimate is arbitrary)
+    Jf = jax.jacfwd(res)(theta)
+    JWf = jnp.einsum("eij,eid->ejd", info9, Jf)
+    Hf = jnp.einsum("eid,eif->df", Jf, JWf)
+    Df = Hf.shape[0]
+    prior_diag_f = jnp.concatenate([
+        jnp.zeros(3, dtype),
+        jnp.full(3, prior_g, dtype), jnp.full(3, prior_a, dtype),
+        jnp.zeros(Df - 9, dtype)])
+    Hf = Hf + jnp.diag(prior_diag_f)
+    df = jnp.diagonal(Hf)
+    goodf = (df > 0) & jnp.isfinite(df)
+    sf_ = jnp.where(goodf, jax.lax.rsqrt(jnp.where(goodf, df, 1.0)), 1.0)
+    Hn = Hf * sf_[:, None] * sf_[None, :] + 1e-9 * jnp.eye(Df, dtype=dtype)
+    cov_n = jnp.linalg.inv(Hn)
+    logs_var = cov_n[2, 2] * sf_[2] * sf_[2]
     phi = jnp.concatenate([theta[0:2], jnp.zeros(1, dtype)])
+    s_fin = jnp.exp(theta[2]) if mono_scale else jnp.asarray(1.0, dtype)
     return dict(
-        Rwg=so3_exp(phi),
-        scale=jnp.exp(theta[2]) if mono_scale else jnp.asarray(1.0, dtype),
-        bg=theta[3:6], ba=theta[6:9], v=theta[9:].reshape(K, 3), cost=cost,
+        Rwg=Rwg0 @ so3_exp(phi),
+        scale=s_fin,
+        # the optimizer's velocities live in the visual frame (see
+        # _gs_residuals); callers get METRIC velocities (ref applies the
+        # same s in Map::ApplyScaledRotation(bScaledVel=true))
+        bg=theta[3:6], ba=theta[6:9],
+        v=s_fin * theta[9:].reshape(K, 3), cost=cost,
+        logs_sigma=jnp.sqrt(jnp.maximum(logs_var, 0.0)),
     )

@@ -197,11 +197,28 @@ def inertial_residual(Rwb1, p1, v1, Rwb2, p2, v2, bg, ba, bg0, ba0, pre):
     return jnp.concatenate([er, ev, ep])
 
 
-def information_from_cov(C9, eps=1e-8):
+def information_from_cov(C9, eps=None):
     """Information matrix of the 9-dim residual (ref: GetInformationMatrix
-    — inverse of the preintegration covariance, symmetrized)."""
-    Cs = 0.5 * (C9 + C9.T) + eps * jnp.eye(9, dtype=C9.dtype)
-    return jnp.linalg.inv(Cs)
+    — inverse of the preintegration covariance, symmetrized).
+
+    f32-robust: the 9x9 covariance mixes rotation (~ng2*dT ~ 1e-7) and
+    position (~na2*dT^3 ~ 1e-11) scales, conditioning the raw inverse at
+    ~1e5-1e9 — a symmetric Jacobi scaling brings it to the physical
+    correlation structure (cond ~ 1e1-1e2) before inverting, and the
+    regularizer is RELATIVE to each diagonal (an absolute 1e-8 floor
+    dominated short-window position covariances and silently deflated
+    their information)."""
+    dtype = C9.dtype
+    if eps is None:
+        eps = 1e-6 if dtype in (jnp.float32, jnp.bfloat16) else 1e-12
+    Cs = 0.5 * (C9 + C9.T)
+    d = jnp.diagonal(Cs)
+    good = (d > 0) & jnp.isfinite(d)
+    s = jnp.where(good, jax.lax.rsqrt(jnp.where(good, d, 1.0)), 1.0)
+    Cn = Cs * s[:, None] * s[None, :] + eps * jnp.eye(9, dtype=dtype)
+    In = jnp.linalg.inv(Cn)
+    In = 0.5 * (In + In.T)
+    return In * s[:, None] * s[None, :]
 
 
 def merge_preintegrations(pre1, pre2):

@@ -145,7 +145,12 @@ class Trajectory:
             y = c[1] + r * np.sin(w * t)
             z = sz / 2 + 0.1 * np.sin(0.3 * t)
             return np.stack([x, y, np.broadcast_to(z, np.shape(x))], -1)
-        wob = 0.35 * np.sin(0.8 * t) if self.kind == "vi_excite" else 0.0
+        # vi_excite: ~1.2 m/s^2 peak accelerometer excitation. Mono-VI
+        # scale observability needs accel * dT^2 well above the visual
+        # pose noise over a KF interval — the old 0.35*sin(0.8t) wobble
+        # peaked at 0.22 m/s^2, leaving scale SNR < 1 per edge on short
+        # windows (round-5 init analysis; EuRoC MAV motion is ~1 m/s^2)
+        wob = 0.25 * np.sin(2.2 * t) if self.kind == "vi_excite" else 0.0
         x = 1.0 + self.speed * t + wob
         y = sy / 2 + 0.6 * np.sin(0.4 * t)
         z = sz / 2 + 0.3 * np.sin(0.3 * t + 1.0)
@@ -159,7 +164,7 @@ class Trajectory:
             return np.stack([
                 -r * w * np.sin(w * t), r * w * np.cos(w * t),
                 0.1 * 0.3 * np.cos(0.3 * t)], -1)
-        dwob = 0.35 * 0.8 * np.cos(0.8 * t) if self.kind == "vi_excite" else z
+        dwob = 0.25 * 2.2 * np.cos(2.2 * t) if self.kind == "vi_excite" else z
         return np.stack(
             [self.speed + dwob,
              0.6 * 0.4 * np.cos(0.4 * t), 0.3 * 0.3 * np.cos(0.3 * t + 1.0)],
@@ -174,7 +179,7 @@ class Trajectory:
             return np.stack([
                 -r * w * w * np.cos(w * t), -r * w * w * np.sin(w * t),
                 -0.1 * 0.09 * np.sin(0.3 * t)], -1)
-        awob = -0.35 * 0.64 * np.sin(0.8 * t) if self.kind == "vi_excite" else z
+        awob = -0.25 * 4.84 * np.sin(2.2 * t) if self.kind == "vi_excite" else z
         return np.stack(
             [awob, -0.6 * 0.16 * np.sin(0.4 * t),
              -0.3 * 0.09 * np.sin(0.3 * t + 1.0)], -1

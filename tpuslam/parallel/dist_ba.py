@@ -254,7 +254,12 @@ def make_dist_viba_step(mesh: Mesh, fx, fy, cx, cy, bf, Rcb, tcb,
         diag = jnp.diagonal(Hdiag, axis1=-2, axis2=-1)
         Hdiag_d = Hdiag + lam * (eyeD * diag[:, None, :]) + 1e-6 * eyeD
         eye3 = jnp.eye(3, dtype=dtype)
-        Hll_d = Hll + lam * (eye3 * jnp.diagonal(
+        # split damping (round-5 f32 work, same as solve/inertial_ba.py):
+        # landmark blocks keep the 1e-3 flat-direction floor, the 15-dim
+        # state system uses the raw lambda so the stiff inertial chain
+        # converges at LM rate
+        lam_ll = jnp.maximum(lam, 1e-3)
+        Hll_d = Hll + lam_ll * (eye3 * jnp.diagonal(
             Hll, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye3
         Hll_inv = _inv3x3(Hll_d)
         Wo = jnp.einsum("oij,oik->ojk", Jp_w, Jl)

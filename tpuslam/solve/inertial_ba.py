@@ -124,7 +124,7 @@ def _inertial_parts(Rwb, p, v, bg, ba, edges_a, edges_b, pre_stack, bg0, ba0,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "robust", "opt_bias", "opt_vel",
-                     "prior_g", "prior_a", "cam"),
+                     "prior_g", "prior_a", "cam", "lam_floor"),
 )
 def vi_ba_solve(
     Rwb, p, v, bg, ba, X,
@@ -137,7 +137,7 @@ def vi_ba_solve(
     prior_g: float = 0.0, prior_a: float = 0.0,
     n_iters: int = 10, robust: bool = True,
     opt_bias: bool = True, opt_vel: bool = True,
-    cam=PINHOLE, is_right=None,
+    cam=PINHOLE, is_right=None, lam_floor: float = 1e-7,
 ):
     """Damped GN loop for visual-inertial BA. Returns (Rwb,p,v,bg,ba,X,cost).
 
@@ -210,9 +210,15 @@ def vi_ba_solve(
                 prior_a * eye3[None])
             b = b.at[:, 12:15].add(-prior_a * ba)
         cost = jnp.sum(cost_v) + cost_i + cost_rw
-        # landmark marginalization (Schur, pair scatter)
+        # landmark marginalization (Schur, pair scatter). SPLIT damping:
+        # the landmark blocks keep a 1e-3 FLOOR (their low-parallax depth
+        # directions are the flat subspace that wanders at f32 — the
+        # visual ba.py lesson), while the 15-dim state system below uses
+        # the raw lambda so the stiff inertial chain still converges at
+        # LM rate (a global 1e-3 floor measured 60x slower convergence).
         eye3d = jnp.eye(3, dtype=dtype)
-        Hll_d = Hll + lam * (eye3d * jnp.diagonal(Hll, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye3d
+        lam_ll = jnp.maximum(lam, 1e-3)
+        Hll_d = Hll + lam_ll * (eye3d * jnp.diagonal(Hll, axis1=-2, axis2=-1)[..., None, :]) + 1e-9 * eye3d
         Hll_inv = _inv3x3(Hll_d)
         Wo = jnp.einsum("oij,oik->ojk", Jp_w, Jl)  # [O,6,3]
         Ao = Wo @ Hll_inv[obs_pt]
@@ -284,7 +290,16 @@ def vi_ba_solve(
         accept = delta < 0
         state = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), new_state, state)
-        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        # FLOOR at 1e-3 (not 1e-9), same rationale as visual ba.py: with
+        # multiplicative damping, lambda is the only thing pinning the
+        # problem's FLAT directions (landmark depth at low parallax; the
+        # weakly-excited bias/scale subspace of a gentle trajectory) to
+        # their initialization — once it decays, noise-level gradients
+        # push cost-neutral meter-scale steps along them. At f32 the
+        # effect is live at every solve; the floor bounds flat-direction
+        # wander while observable directions still converge.
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                       lam_floor, 1e6)
         return (state, lam), delta
 
     state0 = (Rwb, p, v, bg, ba, X)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from ..core.lie import so3_exp, so3_log, hat
 from ..core.linalg import spd_solve
-from ..core.robust import huber_weight
+from ..core.robust import huber_cost, huber_weight
 from .inertial_ba import _edge_residual_of_eps
 from .reproj import PINHOLE, cam_residual
 
@@ -181,6 +181,32 @@ def pose_inertial_solve(
             bg2_ + d2[9:12], ba2_ + d2[12:15],
         )
 
+    def cost_terms(state, use, chi2_mono, chi2_stereo, robust):
+        """PER-TERM cost vector (visual obs, inertial edge, RW edges,
+        prior) — f32-safe LM acceptance differences per term before
+        reducing (the round-3 visual-solver lesson: at f32 a genuine
+        small improvement vanishes below the resolution of two large
+        totals and every step rejects)."""
+        R1_, p1_, v1_, bg1_, ba1_, R2_, p2_, v2_, bg2_, ba2_ = state
+        _, _, _, chi2, z = _visual_parts(
+            R2_, p2_, X, uvr, inv_sigma2, stereo, use, Rcb, tcb,
+            fx, fy, cx, cy, bf, chi2_mono, chi2_stereo, robust,
+            cam, is_right)
+        chi2_th = jnp.where(stereo, chi2_stereo, chi2_mono).astype(dtype)
+        c_v = jnp.where(use & (z > 0),
+                        huber_cost(chi2, chi2_th) if robust else chi2, 0.0)
+        ri = _edge_residual_of_eps(
+            z15, z15, R1_, p1_, v1_, bg1_, ba1_, R2_, p2_, v2_,
+            bg0, ba0, pre)
+        c_i = ri @ info9 @ ri
+        c_rwg = rw_info_g * jnp.sum((bg2_ - bg1_) ** 2)
+        c_rwa = rw_info_a * jnp.sum((ba2_ - ba1_) ** 2)
+        rp = _prior_residual_of_eps(
+            z15, R1_, p1_, v1_, bg1_, ba1_,
+            prior_R, prior_p, prior_v, prior_bg, prior_ba)
+        c_pr = rp @ prior_H @ rp
+        return jnp.concatenate([c_v, jnp.stack([c_i, c_rwg, c_rwa, c_pr])])
+
     state = (R1, p1, v1, bg1, ba1, R2, p2, v2, bg2, ba2)
     use = valid
     for rnd in range(n_rounds):
@@ -188,14 +214,29 @@ def pose_inertial_solve(
         cs = CHI2_STEREO_SCHED[min(rnd, len(CHI2_STEREO_SCHED) - 1)]
         robust = rnd < n_rounds - 1
 
-        def body(i, st, use=use, cm=cm, cs=cs, robust=robust):
+        def body(i, carry, use=use, cm=cm, cs=cs, robust=robust):
+            # Levenberg-Marquardt with accept/reject (the reference runs
+            # plain GN here, Optimizer.cc:7545, but in double; at f32 an
+            # undamped 30-dim step through the mixed-scale H oscillates —
+            # relative Marquardt damping + per-term acceptance keep every
+            # iterate no worse than its predecessor)
+            st, lam = carry
             H, b = build(st, use, cm, cs, robust)
             Hm = H * (freeF[:, None] * freeF[None, :])
             Hm = Hm + jnp.diag(1.0 - freeF) + 1e-8 * eyeD
-            dx = spd_solve(Hm, b * freeF) * freeF
-            return apply_dx(st, dx)
+            dx = spd_solve(Hm, b * freeF, damping=lam) * freeF
+            st2 = apply_dx(st, dx)
+            delta = jnp.sum(cost_terms(st2, use, cm, cs, robust)
+                            - cost_terms(st, use, cm, cs, robust))
+            accept = delta < 0
+            st = jax.tree.map(lambda a_, b_: jnp.where(accept, a_, b_),
+                              st2, st)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                           1e-6, 1e2)
+            return st, lam
 
-        state = jax.lax.fori_loop(0, n_iters, body, state)
+        state, _ = jax.lax.fori_loop(
+            0, n_iters, body, (state, jnp.asarray(1e-4, dtype)))
         # re-classify on ALL valid obs with this round's threshold
         _, _, _, chi2, z = _visual_parts(
             state[5], state[6], X, uvr, inv_sigma2, stereo, valid,
@@ -203,13 +244,20 @@ def pose_inertial_solve(
         chi2_th = jnp.where(stereo, cs, cm).astype(dtype)
         use = valid & (chi2 <= chi2_th) & (z > 0)
 
-    # final Hessian over inliers (non-robust) -> marginalize anchor
+    # final Hessian over inliers (non-robust) -> marginalize anchor.
+    # f32-robust: the anchor block mixes visual-scale (fx^2) and
+    # bias-prior-scale entries — Jacobi-scale before factorizing (ref
+    # Marginalize Optimizer.cc:5187 runs in double and skips this).
     H, _ = build(state, use, CHI2_MONO_SCHED[-1], CHI2_STEREO_SCHED[-1],
                  False)
     H = H * (freeF[:, None] * freeF[None, :])   # fixed anchor decouples
-    H11 = H[:15, :15] + 1e-6 * jnp.eye(15, dtype=dtype)
-    H12 = H[:15, 15:]
-    H15 = H[15:, 15:] - H12.T @ jnp.linalg.solve(H11, H12)
+    H11 = H[:15, :15]
+    d11 = jnp.diagonal(H11)
+    good = (d11 > 0) & jnp.isfinite(d11)
+    s11 = jnp.where(good, jax.lax.rsqrt(jnp.where(good, d11, 1.0)), 1.0)
+    A = H11 * s11[:, None] * s11[None, :] + 1e-6 * jnp.eye(15, dtype=dtype)
+    B12 = s11[:, None] * H[:15, 15:]
+    H15 = H[15:, 15:] - B12.T @ jnp.linalg.solve(A, B12)
     H15 = 0.5 * (H15 + H15.T)
     return (state[5], state[6], state[7], state[8], state[9],
             use, H15, jnp.sum(use))
