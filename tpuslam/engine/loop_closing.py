@@ -325,53 +325,95 @@ class LoopCloser:
         return int(ok.sum()), pairs
 
     # ------------------------------------------------------------ correction
+    @staticmethod
+    def _ride_points(m, pt_ids, anchor_rows, R_old, t_old, R_new, t_new,
+                     s_new):
+        """Vectorized anchor-ride: every point in pt_ids moves with its
+        anchor KF's correction, X' = (1/s_a) R_a_new^T (R_a_old X + t_a_old
+        - t_a_new) — ONE batched einsum pass instead of a Python loop per
+        point (round-4 weak #5: the host loops were O(map) under the map
+        lock). anchor_rows indexes the stacked per-anchor arrays."""
+        if len(pt_ids) == 0:
+            return
+        Ro = R_old[anchor_rows]
+        to = t_old[anchor_rows]
+        Rn = R_new[anchor_rows]
+        tn = t_new[anchor_rows]
+        sn = s_new[anchor_rows]
+        Xc = np.einsum("pij,pj->pi", Ro, m.mp_pos[pt_ids]) + to
+        m.mp_pos[pt_ids] = np.einsum(
+            "pji,pj->pi", Rn, Xc - tn) / sn[:, None]
+
     def _correct_loop(self, kf: int, cand: int, s, R, t, match_pairs,
                       merge: bool = False):
         """ref: CorrectLoop (LoopClosing.cc:1013); with merge=True this is
-        the Atlas map merge (MergeLocal :1252): the WHOLE current map is
-        transported onto the matched map's frame and relabeled."""
+        the Atlas map merge (MergeLocal :1252).
+
+        Merge structure follows the reference: the WELD WINDOW (current KF
+        + covisibles, ref spLocalWindowKFs LoopClosing.cc:1299-1330) gets
+        the exact per-KF corrected Sim3 and feeds the essential graph as
+        the corrected set; the REST of the young map is transported by the
+        same relative-pose formula as a SEED only (vectorized — bounded
+        host time) and the essential graph carries it. All point motion is
+        batched per-anchor (no O(map) Python loops under the lock)."""
         m = self.map
         # corrected Scw of current KF: S_c<-l o T_lw
         s_cw = s
         R_cw = R @ m.kf_R[cand]
         t_cw = s * (m.kf_t[cand] @ R.T) + t
+        window = [kf] + m.best_covisible(kf)
         if merge:
-            window = list(m.valid_kf_ids(map_id=int(m.kf_map_id[kf])))
+            young = [int(x) for x in
+                     m.valid_kf_ids(map_id=int(m.kf_map_id[kf]))]
+            wset = set(window)
+            rest = [k for k in young if k not in wset]
+            transported = window + rest
         else:
-            window = [kf] + m.best_covisible(kf)
-        corrected = {}
-        old_pose = {k: (m.kf_R[k].copy(), m.kf_t[k].copy()) for k in window}
-        Rk_c, tk_c = {}, {}
+            rest = []
+            transported = window
+        old_pose = {k: (m.kf_R[k].copy(), m.kf_t[k].copy())
+                    for k in transported}
+        # per-KF corrected Sim3: T_k<-c from current (drifted) poses;
+        # corrected S_kw = T_kc o S_cw  (one batched pass)
         Rc, tc = m.kf_R[kf], m.kf_t[kf]
-        for k in window:
-            # T_k<-c from current (drifted) poses; corrected S_kw = T_kc o S_cw
-            Rkc = m.kf_R[k] @ Rc.T
-            tkc = m.kf_t[k] - Rkc @ tc
-            s_k = s_cw
-            R_k = Rkc @ R_cw
-            t_k = Rkc @ t_cw + tkc
-            corrected[k] = (s_k, R_k, t_k)
-        # correct window map points: X' = S_kw_corr^-1 (T_kw_old X)
-        done = set()
-        wset = set(window)
-        for k in window:
-            sk, Rk, tk = corrected[k]
-            Ro, to = old_pose[k]
-            for mp in np.unique(m.kf_mp[k]):
-                if mp < 0 or mp in done or not m.mp_valid[mp]:
-                    continue
-                done.add(int(mp))
-                Xc_old = Ro @ m.mp_pos[mp] + to
-                m.mp_pos[mp] = (1.0 / sk) * (Rk.T @ (Xc_old - tk))
+        t_idx = np.asarray(transported, np.int64)
+        Rk_all = m.kf_R[t_idx]                       # [W,3,3]
+        tk_all = m.kf_t[t_idx]                       # [W,3]
+        Rkc = np.einsum("kij,jl->kil", Rk_all, Rc.T)
+        tkc = tk_all - np.einsum("kij,j->ki", Rkc, tc)
+        R_corr = np.einsum("kij,jl->kil", Rkc, R_cw)
+        t_corr = np.einsum("kij,j->ki", Rkc, t_cw) + tkc
+        s_corr = np.full(len(transported), s_cw)
+        corrected = {k: (s_corr[i], R_corr[i], t_corr[i])
+                     for i, k in enumerate(window)}
+        # move every point of the transported set with its anchor KF
+        # (anchor = the first KF that sees it in `transported`; per-KF
+        # vector ops, one batched transform at the end)
+        seen = np.zeros(m.n_mp, bool)
+        pt_chunks, anch_chunks = [], []
+        for i, k in enumerate(transported):
+            mps = np.unique(m.kf_mp[k])
+            mps = mps[mps >= 0]
+            mps = mps[m.mp_valid[mps] & ~seen[mps]]
+            seen[mps] = True
+            pt_chunks.append(mps.astype(np.int64))
+            anch_chunks.append(np.full(len(mps), i))
+        done = set(int(j) for j in np.concatenate(pt_chunks)) \
+            if pt_chunks else set()
+        R_old_stack = np.stack([old_pose[k][0] for k in transported])
+        t_old_stack = np.stack([old_pose[k][1] for k in transported])
+        self._ride_points(
+            m, np.concatenate(pt_chunks) if pt_chunks else np.zeros(0, int),
+            np.concatenate(anch_chunks) if anch_chunks else np.zeros(0, int),
+            R_old_stack, t_old_stack, R_corr, t_corr, s_corr)
         # write corrected poses (translation rescaled: Tcw = [R | t/s]);
         # world velocities ride the per-KF world correction
         # v' = (1/s) R_new^T R_old v (ref CorrectLoop Rcor*Vw :1127)
-        for k in window:
-            sk, Rk, tk = corrected[k]
+        for i, k in enumerate(transported):
             Ro, _ = old_pose[k]
-            m.kf_R[k] = Rk
-            m.kf_t[k] = tk / sk
-            m.kf_vel[k] = (Rk.T @ Ro @ m.kf_vel[k]) / sk
+            m.kf_R[k] = R_corr[i]
+            m.kf_t[k] = t_corr[i] / s_corr[i]
+            m.kf_vel[k] = (R_corr[i].T @ Ro @ m.kf_vel[k]) / s_corr[i]
         # fuse matched duplicates: loop MP replaces current MP (ref :1156)
         for cur_mp, loop_mp in match_pairs:
             cur_mp = m.resolve_replaced(int(cur_mp))
@@ -417,22 +459,39 @@ class LoopCloser:
             fix_kfs=old_side,
         )
         # correct remaining map points through their anchor KF's motion
-        done2 = set(done)
-        for j in m.valid_mp_ids():
-            j = int(j)
-            if j in done2 or not m.mp_obs[j]:
-                continue
-            anchor = int(m.mp_first_kf[j])
-            if anchor not in m.mp_obs[j]:
+        # (vectorized batch; the rare anchor-not-in-graph points fall back
+        # to a tiny Python loop)
+        rem_mask = m.mp_valid[: m.n_mp].copy()
+        rem_mask[np.fromiter(done, np.int64, len(done))] = False
+        rem = np.nonzero(rem_mask)[0].astype(np.int64)
+        if len(rem):
+            n_kf = m.n_kf
+            have = np.zeros(n_kf, bool)
+            sG = np.ones(n_kf)
+            RG = np.broadcast_to(np.eye(3), (n_kf, 3, 3)).copy()
+            tG = np.zeros((n_kf, 3))
+            RO = RG.copy()
+            tO = tG.copy()
+            for k, (s_n, R_n, t_n) in out.items():
+                if 0 <= k < n_kf and k in pre_R:
+                    have[k] = True
+                    sG[k], RG[k], tG[k] = s_n, R_n, t_n
+                    RO[k], tO[k] = pre_R[k], pre_t[k]
+            anchors = m.mp_first_kf[rem]
+            ok = (anchors >= 0) & have[np.maximum(anchors, 0)]
+            self._ride_points(m, rem[ok], anchors[ok], RO, tO, RG, tG, sG)
+            for j in rem[~ok]:
+                j = int(j)
+                if not m.mp_obs[j]:
+                    continue
                 anchor = next(iter(m.mp_obs[j]))
-            if anchor not in out:
-                continue
-            s_n, R_n, t_n = out[anchor]
-            Ro, to = pre_R[anchor], pre_t[anchor]
-            Xc_old = Ro @ m.mp_pos[j] + to
-            m.mp_pos[j] = (1.0 / s_n) * (R_n.T @ (Xc_old - t_n))
-        for j in m.valid_mp_ids():
-            m.update_point_stats(int(j))
+                if anchor not in out:
+                    continue
+                s_n, R_n, t_n = out[anchor]
+                Ro, to = pre_R[anchor], pre_t[anchor]
+                Xc_old = Ro @ m.mp_pos[j] + to
+                m.mp_pos[j] = (1.0 / s_n) * (R_n.T @ (Xc_old - t_n))
+        m.update_point_stats_batch(m.valid_mp_ids())
         if merge:
             # weld-area local BA LAST: both sides of the seam move, the
             # frontier (outside observers) is fixed (ref MergeLocal ->
@@ -440,11 +499,29 @@ class LoopCloser:
             # LoopClosing.cc:1676-1722 / Optimizer.cc:6255) — the seam is
             # cleaned up even when GBA doesn't run. After the essential
             # graph so the graph's Sim3 seeds don't overwrite BA poses.
-            from .local_mapping import window_ba
-            window_ba(m, self.camera, self.camera.spec, self.inv_sigma2,
-                      getattr(self.local_mapper, "bf", 0.0)
-                      if self.local_mapper else 0.0,
-                      weld_cur, n_iters=15, fixed_kfs=old_side)
+            calib = getattr(self.local_mapper, "imu_calib", None) \
+                if self.local_mapper else None
+            if m.imu_initialized and calib is not None:
+                # inertial maps weld with the VISUAL-INERTIAL window BA so
+                # the seam respects the preintegration chain
+                # (MergeInertialBA, ref Optimizer.cc:6912, called from
+                # LoopClosing.cc:1716,2218)
+                from .inertial import window_inertial_ba
+                chain = m.temporal_chain()
+                opt = chain[-10:]
+                if len(opt) >= 2:
+                    oset = set(opt)
+                    fixed_side = [k for k in weld_loop
+                                  if m.kf_valid[k] and k not in oset]
+                    window_inertial_ba(
+                        m, self.camera, calib, self.inv_sigma2,
+                        opt_kfs=opt, fixed_kfs=fixed_side, n_iters=15)
+            else:
+                from .local_mapping import window_ba
+                window_ba(m, self.camera, self.camera.spec, self.inv_sigma2,
+                          getattr(self.local_mapper, "bf", 0.0)
+                          if self.local_mapper else 0.0,
+                          weld_cur, n_iters=15, fixed_kfs=old_side)
         # global BA after correction, on a background thread with staged
         # corrections (ref: LoopClosing.cc:1237-1244 spawns the GBA thread;
         # RunGlobalBundleAdjustment :2430 propagates to KFs/MPs created
@@ -468,8 +545,18 @@ class LoopCloser:
     def _snapshot_gba(self, fix_kf: int):
         """Build the GBA problem from the map under the lock — vectorized
         per-KF assembly (one numpy pass per keyframe row instead of a
-        Python dict walk over every observation)."""
+        Python dict walk over every observation).
+
+        On an INERTIAL map the snapshot is the FullInertialBA problem
+        (visual observations + the temporal preintegration chain +
+        velocities/biases — ref RunGlobalBundleAdjustment routes to
+        FullInertialBA(7 it) when IMU is initialized,
+        LoopClosing.cc:2437-2440 / Optimizer.cc:420)."""
         m = self.map
+        calib = getattr(self.local_mapper, "imu_calib", None) \
+            if self.local_mapper else None
+        if m.imu_initialized and calib is not None:
+            return self._snapshot_gba_vi(fix_kf, calib)
         kfs = np.asarray(m.valid_kf_ids(), np.int64)
         pts = np.unique(m.kf_mp[kfs])
         pts = pts[pts >= 0]
@@ -513,6 +600,114 @@ class LoopCloser:
             uvr=np.concatenate(uvr), inv_s2=np.concatenate(inv_s2),
             stereo=np.concatenate(stereo), fixed=fixed, bf=bf,
         )
+
+    def _snapshot_gba_vi(self, fix_kf: int, calib):
+        """FullInertialBA snapshot: the temporal chain optimizes (poses,
+        velocities, biases), every other valid KF enters as fixed visual
+        frontier; the first chain KF's pose is fixed (ref FullInertialBA
+        fixes the init KF, Optimizer.cc:446) and so is fix_kf (the loop/
+        merge anchor, ref nLoopKF)."""
+        import threading
+
+        from .inertial import _window_viba_assemble
+
+        m = self.map
+        chain = m.temporal_chain()
+        if len(chain) < 3:
+            return None
+        others = sorted(set(int(k) for k in m.valid_kf_ids())
+                        - set(chain))
+        asm = _window_viba_assemble(
+            m, self.camera, calib, self.inv_sigma2,
+            opt_kfs=chain, fixed_kfs=others, fix_first=True)
+        if asm is None:
+            return None
+        kf_list = chain + others
+        fixed = asm["fixed"].copy()
+        idx = asm["idx"]
+        if int(fix_kf) in idx:
+            fixed[idx[int(fix_kf)]] = True
+        return dict(
+            kind="vi", abort=threading.Event(), asm=asm, calib=calib,
+            kfs=np.asarray(kf_list, np.int64), pts=asm["pts"],
+            fixed=fixed,
+        )
+
+    def _solve_gba_vi(self, snap, n_iters: int = 7, chunks: int = 3):
+        """Chunked FullInertialBA on the snapshot, lock-free, abortable
+        between chunks (ref FullInertialBA(7 it) + mbStopGBA,
+        Optimizer.cc:420 / LoopClosing.cc:2445). Routes through the
+        distributed VI-BA when more than one device is visible and the
+        visual part is large enough (the serving-path guarantee)."""
+        from ..solve.inertial_ba import vi_ba_solve
+        from .inertial import DIST_VIBA_MIN_OBS
+
+        asm = snap["asm"]
+        calib = snap["calib"]
+        cam = self.camera
+        Rwb, p, v, bg, ba, X = (asm["Rwb"], asm["p"], asm["v"], asm["bg"],
+                                asm["ba"], asm["X"])
+        O = asm["O"]
+        fixedj = np.zeros(asm["Kb"], bool)
+        fixedj[: len(snap["fixed"])] = snap["fixed"]
+        fixedj[len(snap["kfs"]):] = True  # padding rows
+        devices = jax.devices()
+        use_dist = (len(devices) > 1 and O >= DIST_VIBA_MIN_OBS)
+        per = max(1, n_iters // chunks)
+        done = 0
+        while done < n_iters:
+            if snap["abort"].is_set():
+                return None
+            it = min(per, n_iters - done)
+            if use_dist:
+                from jax.sharding import Mesh
+                from ..parallel.dist_ba import dist_viba_solve
+
+                mesh = Mesh(np.array(devices), ("obs",))
+                out = dist_viba_solve(
+                    mesh, Rwb, p, v, bg, ba, np.asarray(X),
+                    asm["obs_kf_a"], asm["obs_pt_a"], asm["uvr_a"],
+                    asm["inv_s2_a"],
+                    np.zeros(asm["Ob"], bool), asm["valid_a"],
+                    asm["ea"][: asm["Eb"]], asm["eb"][: asm["Eb"]],
+                    jax.tree.map(np.asarray, dict(asm["pre_stack"])),
+                    asm["info9"], asm["bg0"], asm["ba0"],
+                    asm["rw_g"], asm["rw_a"], fixedj,
+                    cam.fx, cam.fy, cam.cx, cam.cy, 0.0,
+                    calib.Rcb, calib.tcb, prior_g=0.0, prior_a=0.0,
+                    n_iters=it, cam=cam.spec,
+                )
+            else:
+                out = vi_ba_solve(
+                    jnp.asarray(Rwb), jnp.asarray(p), jnp.asarray(v),
+                    jnp.asarray(bg), jnp.asarray(ba), jnp.asarray(X),
+                    jnp.asarray(asm["obs_kf_a"]),
+                    jnp.asarray(asm["obs_pt_a"]), jnp.asarray(asm["uvr_a"]),
+                    jnp.asarray(asm["inv_s2_a"]),
+                    jnp.zeros(asm["Ob"], bool), jnp.asarray(asm["valid_a"]),
+                    jnp.asarray(asm["ea"]), jnp.asarray(asm["eb"]),
+                    asm["pre_stack"], jnp.asarray(asm["info9"]),
+                    jnp.asarray(asm["bg0"]), jnp.asarray(asm["ba0"]),
+                    jnp.asarray(fixedj), jnp.asarray(asm["pair_a_a"]),
+                    jnp.asarray(asm["pair_b_a"]),
+                    cam.fx, cam.fy, cam.cx, cam.cy, 0.0,
+                    jnp.asarray(asm["rw_g"]), jnp.asarray(asm["rw_a"]),
+                    jnp.asarray(calib.Rcb), jnp.asarray(calib.tcb),
+                    prior_g=0.0, prior_a=0.0, n_iters=it, cam=cam.spec,
+                )
+            Rwb, p, v, bg, ba, X = [np.asarray(x) for x in out[:6]]
+            if not np.isfinite(np.asarray(out[6])):
+                return None
+            done += it
+        if snap["abort"].is_set():
+            return None
+        # body states -> camera poses for the generic apply
+        K = len(snap["kfs"])
+        Rg = np.zeros((K, 3, 3))
+        tg = np.zeros((K, 3))
+        for i in range(K):
+            Rg[i], tg[i] = snap["calib"].cam_from_body(Rwb[i], p[i])
+        return Rg, tg, X[: len(snap["pts"])], v[:K], bg[:K], ba[:K]
 
     def _solve_gba(self, snap, n_iters: int = 10, chunks: int = 3):
         """Run the solve on the snapshot WITHOUT the map lock, in chunks so
@@ -574,7 +769,8 @@ class LoopCloser:
         RunGlobalBundleAdjustment LoopClosing.cc:2476-2530); new MPs ride
         their anchor KF's correction."""
         m = self.map
-        Rg, tg, Xg = solved
+        Rg, tg, Xg = solved[:3]
+        vi = len(solved) > 3   # FullInertialBA result: also vel/bg/ba
         kfs, pts = snap["kfs"], snap["pts"]
         with m.lock:
             if snap["abort"].is_set():
@@ -587,6 +783,13 @@ class LoopCloser:
                 if m.kf_valid[k] and not snap["fixed"][i]:
                     m.kf_R[k] = Rg[i]
                     m.kf_t[k] = tg[i]
+                    if vi:
+                        # velocity/bias corrections stage through with the
+                        # poses (ref RunGlobalBundleAdjustment mVwbGBA /
+                        # bias update, LoopClosing.cc:2476-2530)
+                        m.kf_vel[k] = solved[3][i]
+                        m.kf_bg[k] = solved[4][i]
+                        m.kf_ba[k] = solved[5][i]
             # KFs created during GBA: walk to the first snapshot ancestor a;
             # P_child_new = P_child_old P_a_old^-1 P_a_new
             for k in m.valid_kf_ids():
@@ -606,21 +809,33 @@ class LoopCloser:
                 trel = before[k][1] - Rrel @ ta_o
                 m.kf_R[k] = Rrel @ Ra_n
                 m.kf_t[k] = Rrel @ ta_n + trel
+                if vi:
+                    # world velocity rides the anchor's world correction
+                    # (linear part Ra_new^T Ra_old)
+                    m.kf_vel[k] = Ra_n.T @ Ra_o @ m.kf_vel[k]
             m.mp_pos[pts[m.mp_valid[pts]]] = Xg[m.mp_valid[pts]]
+            # points created during the solve ride their anchor KF's
+            # correction — one batched transform (round-4 weak #5)
             in_pts = np.zeros(m.n_mp, bool)
             in_pts[pts] = True
-            for j in m.valid_mp_ids():
-                j = int(j)
-                if in_pts[j] or not m.mp_obs[j]:
-                    continue
-                anchor = int(m.mp_first_kf[j])
-                if anchor not in m.mp_obs[j]:
-                    anchor = next(iter(m.mp_obs[j]))
-                if anchor not in before or not m.kf_valid[anchor]:
-                    continue
-                Ro, to = before[anchor]
-                Xc = Ro @ m.mp_pos[j] + to
-                m.mp_pos[j] = m.kf_R[anchor].T @ (Xc - m.kf_t[anchor])
+            rem = np.nonzero(m.mp_valid[: m.n_mp] & ~in_pts)[0].astype(
+                np.int64)
+            if len(rem):
+                n_kf = m.n_kf
+                have = np.zeros(n_kf, bool)
+                RO = np.broadcast_to(np.eye(3), (n_kf, 3, 3)).copy()
+                tO = np.zeros((n_kf, 3))
+                RN = RO.copy()
+                tN = tO.copy()
+                for k, (Ro, to) in before.items():
+                    if 0 <= k < n_kf and m.kf_valid[k]:
+                        have[k] = True
+                        RO[k], tO[k] = Ro, to
+                        RN[k], tN[k] = m.kf_R[k], m.kf_t[k]
+                anchors = m.mp_first_kf[rem]
+                ok = (anchors >= 0) & have[np.maximum(anchors, 0)]
+                self._ride_points(m, rem[ok], anchors[ok], RO, tO, RN, tN,
+                                  np.ones(n_kf))
             m.map_version += 1
 
     def _launch_gba(self, fix_kf: int, n_iters: int = 10):
@@ -638,7 +853,10 @@ class LoopCloser:
         self._gba_abort_evt = snap["abort"]
 
         def run():
-            solved = self._solve_gba(snap, n_iters=n_iters)
+            if snap.get("kind") == "vi":
+                solved = self._solve_gba_vi(snap)
+            else:
+                solved = self._solve_gba(snap, n_iters=n_iters)
             if solved is not None:
                 self._apply_gba(snap, solved)
 
