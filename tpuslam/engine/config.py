@@ -67,8 +67,12 @@ class InertialConfig:
     """IMU init schedule + inertial BA windows (ref: LocalMapping.cc:162-221
     init/VIBA1/VIBA2 state machine, Optimizer.cc:4574 LocalInertialBA)."""
 
-    init_min_kfs: int = 6
-    init_min_span: float = 1.0           # s of KF history before first init
+    init_min_kfs: int = 10               # ref nMinKF=10 (LocalMapping.cc)
+    init_min_span: float = 2.0           # s of KF history before first init
+                                         # (ref mono minTime=2.0 — a younger
+                                         # window passes the observability
+                                         # gates by luck and locks in a bad
+                                         # scale)
     viba1_time: float = 5.0              # ref LocalMapping.cc:180 mTinit>5
     viba2_time: float = 15.0             # ref :195
     local_window: int = 10               # temporal window Nd (ref maxOpt=10)

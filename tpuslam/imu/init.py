@@ -97,12 +97,52 @@ def _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack, mono_scale,
     return jax.vmap(edge)(edges_a, edges_b)
 
 
+def linear_sgv_seed(Rwb, p, edges_a, edges_b, pre_list):
+    """Closed-form (s, gravity, velocity) seed: substituting w = s*v makes
+    the EdgeInertialGS ev/ep equations EXACTLY linear in (s, g, w) —
+    ev: R1^T (w_b - w_a - g dT) = dV
+    ep: R1^T (s*dp_vis - w_a dT - g dT^2/2) = dP
+    — one least-squares solve with no basins (the VINS-Mono-style
+    initialization; the nonlinear 2-DoF-gravity solve then refines from
+    here). Without this seed the GN walk from s=1 measurably parks in a
+    small-scale local basin when the true scale is far (s ~ 10+).
+
+    Returns (s, g [3], w [K,3] = s*v in the visual world frame)."""
+    K = len(Rwb)
+    E = len(edges_a)
+    n = 4 + 3 * K
+    A = np.zeros((6 * E, n))
+    rhs = np.zeros(6 * E)
+    for e in range(E):
+        a_, b_ = int(edges_a[e]), int(edges_b[e])
+        pre = pre_list[e]
+        dT = max(float(np.asarray(pre["dT"])), 1e-9)
+        R1T = np.asarray(Rwb[a_], np.float64).T
+        dV = np.asarray(pre["dV"], np.float64)
+        dP = np.asarray(pre["dP"], np.float64)
+        r0 = 6 * e
+        # ev rows
+        A[r0:r0 + 3, 1:4] = -R1T * dT
+        A[r0:r0 + 3, 4 + 3 * b_: 7 + 3 * b_] = R1T
+        A[r0:r0 + 3, 4 + 3 * a_: 7 + 3 * a_] = -R1T
+        rhs[r0:r0 + 3] = dV
+        # ep rows
+        A[r0 + 3:r0 + 6, 0] = R1T @ (
+            np.asarray(p[b_], np.float64) - np.asarray(p[a_], np.float64))
+        A[r0 + 3:r0 + 6, 1:4] = -0.5 * R1T * dT * dT
+        A[r0 + 3:r0 + 6, 4 + 3 * a_: 7 + 3 * a_] = -R1T * dT
+        rhs[r0 + 3:r0 + 6] = dP
+    x, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    return float(x[0]), x[1:4], x[4:].reshape(K, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters", "mono_scale",
                                              "fix_accel_bias"))
 def inertial_init_solve(Rwb, p, v0, edges_a, edges_b, pre_stack, info9,
                         prior_g: float = 1e2, prior_a: float = 1e10,
                         n_iters: int = 20, mono_scale: bool = True,
-                        fix_accel_bias: bool = False, Rwg0=None):
+                        fix_accel_bias: bool = False, Rwg0=None,
+                        log_s0=0.0):
     """Estimate (Rwg, s, bg, ba, v) with KF poses fixed.
 
     prior_g/prior_a: zero-mean bias priors (the ref init schedule passes
@@ -121,7 +161,10 @@ def inertial_init_solve(Rwb, p, v0, edges_a, edges_b, pre_stack, info9,
     dtype = Rwb.dtype
     if Rwg0 is None:
         Rwg0 = jnp.eye(3, dtype=dtype)
-    theta = jnp.concatenate([jnp.zeros(9, dtype), v0.reshape(-1)])
+    theta = jnp.concatenate([
+        jnp.zeros(2, dtype),
+        jnp.asarray(log_s0, dtype).reshape(1),
+        jnp.zeros(6, dtype), v0.reshape(-1)])
 
     def res(theta):
         return _gs_residuals(theta, Rwb, p, edges_a, edges_b, pre_stack,
