@@ -100,14 +100,22 @@ class LocalMapper:
             with T.stage("fuse"):
                 self._fuse_neighbors(kf, hold=hold)
             with T.stage("local_ba"):
-                # interrupt discipline: the ROBUST 5-iteration first phase
-                # always runs; a queued KF aborts only the second phase
-                # (ref mbAbortBA, LocalMapping.cc:103,283 — the reference
-                # skips BA entirely under backlog, but its real-time
-                # pacing rarely backs up; under a compute-bound feed a
-                # full skip starves visual BA and the mono map's scale
-                # drifts until IMU init can't fit it)
-                if m.imu_initialized:
+                # interrupt discipline, SENSOR-AWARE: with the scale
+                # anchored (stereo/RGB-D depth, or an initialized IMU)
+                # a queue backlog defers local BA entirely — the
+                # reference's discipline (LocalMapping::Run :103,283
+                # runs BA only when no KF waits). On a scale-FREE map
+                # (mono before IMU init) the robust 5-iteration first
+                # phase always runs and only the second phase aborts:
+                # under a compute-bound feed a full skip starves visual
+                # BA and the mono scale drifts until IMU init can't fit
+                # a single s (measured: 7x region-to-region spread).
+                backlog = (self.abort_check is not None
+                           and self.abort_check())
+                scale_anchored = self.bf > 0 or m.imu_initialized
+                if backlog and scale_anchored:
+                    pass
+                elif m.imu_initialized:
                     self._local_inertial_ba(kf, hold=hold)
                 else:
                     self._local_ba(kf, hold=hold)
